@@ -1,0 +1,92 @@
+"""Shared sklearn-API plumbing for the Relief-family estimators.
+
+The reference repeats the estimator scaffolding per algorithm
+(``MultiSURF.py:273-489``, ``SURF.py:220-425``, ``ReliefF.py:239-452``);
+here it lives once.  Subclasses define ``_algo_name`` and ``_score``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.base import BaseEstimator, TransformerMixin
+from sklearn.utils.validation import check_is_fitted, validate_data
+
+from ..utils.backend import resolve_backend, default_device
+from ..utils.validation import resolve_n_features_to_select, check_min_samples
+from ..utils.preprocessing import detect_discrete_features
+
+
+class BaseReliefSelector(TransformerMixin, BaseEstimator):
+    """Common fit/transform skeleton; not part of the public API."""
+
+    _algo_name = "Relief"
+    _validate_dtype = np.float64
+
+    def _validate_parameters(self, n_samples, n_features):
+        if self.backend not in ("auto", "tpu", "cpu", "gpu"):
+            raise ValueError(
+                "backend must be one of 'auto', 'tpu', 'cpu', or 'gpu'"
+            )
+        check_min_samples(n_samples, self._algo_name)
+        return resolve_n_features_to_select(
+            self.n_features_to_select, n_features)
+
+    def _resolve_backend(self):
+        return resolve_backend(self.backend, self._algo_name)
+
+    def _device(self):
+        return default_device(self.effective_backend_)
+
+    def _log_running(self, star_name: str | None = None):
+        if getattr(self, "verbose", False):
+            name = star_name or self._algo_name
+            print(f"Running {name} on the "
+                  f"{self.effective_backend_.upper()} now...")
+
+    def fit(self, X, y):
+        """Score all features and select the top ones.
+
+        Parameters
+        ----------
+        X : array-like of shape (n_samples, n_features)
+            Training samples. NaN values are rejected.
+        y : array-like of shape (n_samples,)
+            Numeric class labels.
+
+        Returns
+        -------
+        self : object
+        """
+        X, y = validate_data(
+            self, X, y, y_numeric=True, dtype=self._validate_dtype,
+            ensure_2d=True,
+        )
+        self.n_features_in_ = X.shape[1]
+        n_samples = X.shape[0]
+        n_select = self._validate_parameters(n_samples, self.n_features_in_)
+
+        is_discrete = detect_discrete_features(X, self.discrete_limit)
+        self.is_discrete_ = is_discrete
+
+        scores = self._score(X, y, is_discrete, n_select)
+        if scores is None:  # algorithm-specific early-out already populated
+            return self
+
+        self.feature_importances_ = scores
+        self.top_features_ = np.argsort(scores)[::-1][:n_select]
+        return self
+
+    def _score(self, X, y, is_discrete, n_select):  # pragma: no cover
+        raise NotImplementedError
+
+    def transform(self, X):
+        """Reduce X to the selected top features."""
+        check_is_fitted(self)
+        X = validate_data(self, X, reset=False,
+                          dtype=[np.float64, np.float32])
+        return X[:, self.top_features_]
+
+    def fit_transform(self, X, y):
+        """Fit to data, then transform it."""
+        self.fit(X, y)
+        return self.transform(X)

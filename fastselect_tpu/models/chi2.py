@@ -1,0 +1,62 @@
+"""Functional chi2 selector (reference ``Chi2.py:49-92``).
+
+Sklearn-count-style chi-squared scores between each non-negative feature and
+the class labels, with the reference's deliberate divergences preserved:
+zero-count features score 0.0 (sklearn yields NaN), and a single-class y
+returns ``(zeros, ones)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import chi2 as chi2_dist
+from sklearn.utils.validation import check_array, check_X_y
+
+from ..ops.chi2_op import chi2_stats, chi2_stats_exact
+from ..utils.backend import resolve_backend, default_device
+
+
+def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
+         exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Chi-squared statistics and p-values for each feature.
+
+    Parameters
+    ----------
+    X : array-like of shape (n_samples, n_features)
+        Non-negative count-like feature values.
+    y : array-like of shape (n_samples,)
+        Class labels.
+    backend : {'auto', 'tpu', 'cpu'}, default='auto'
+        Where to run the contingency matmul.
+    exact : bool, default=False
+        Use float64 host accumulation (bit-stable oracle path) instead of the
+        fp32 device matmul.
+
+    Returns
+    -------
+    (chi2_stats, p_values) : tuple of ndarray of shape (n_features,)
+    """
+    X = check_array(X, dtype=[np.float64, np.float32], ensure_2d=True)
+    X, y = check_X_y(X, y, y_numeric=True)
+
+    if np.any(X < 0):
+        raise ValueError("Input matrix X must contain non-negative values.")
+
+    n_samples, n_features = X.shape
+    labels, y_mapped = np.unique(y, return_inverse=True)
+    n_classes = len(labels)
+
+    if n_classes < 2:
+        return (np.zeros(n_features, dtype=np.float64),
+                np.ones(n_features, dtype=np.float64))
+
+    if exact:
+        stats = chi2_stats_exact(X, y_mapped, n_classes)
+    else:
+        effective = resolve_backend(backend, "chi2")
+        stats = chi2_stats(X, y_mapped, n_classes,
+                           device=default_device(effective))
+
+    dof = n_classes - 1
+    p_values = chi2_dist.sf(stats, dof)
+    return stats, p_values

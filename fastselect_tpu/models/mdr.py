@@ -1,0 +1,213 @@
+"""Multifactor Dimensionality Reduction classifier (reference
+``MDR.py:148-357``).
+
+Epistasis search over SNP genotypes coded 0/1/2, binary targets only.
+Every C(p, k) combination is scored by balanced accuracy of its 3^k
+contingency-table model under StratifiedKFold (shuffle, random_state=42 —
+pinned for fold parity with the reference); the final model is chosen by
+cross-validation consistency with mean-test-BA tie-break.  Combo scoring
+runs tiled on the TPU (``fastselect_tpu.ops.mdr_op``); prediction uses a
+host-side 3^k lookup table.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations, islice
+
+import numpy as np
+from sklearn.base import BaseEstimator, ClassifierMixin
+from sklearn.model_selection import StratifiedKFold
+from sklearn.utils.multiclass import unique_labels
+from sklearn.utils.validation import check_X_y, check_array, check_is_fitted
+
+from ..ops.mdr_op import batch_balanced_accuracy
+from ..utils.backend import resolve_backend, default_device
+
+MAX_K_FOR_KERNEL = 6
+_COMBO_CHUNK = 1 << 18  # stream combos; never materialise C(p,k) at once
+
+
+class MDR(BaseEstimator, ClassifierMixin):
+    """TPU-accelerated Multifactor Dimensionality Reduction.
+
+    Parameters
+    ----------
+    k : int, default=2
+        Interaction order to search (max 6).
+    cv : int, default=10
+        Stratified folds for model selection.
+    backend : {'auto', 'tpu', 'cpu'}, default='auto'
+        Execution backend ('gpu' raises; this framework is TPU-native).
+    verbose : bool, default=False
+        Print per-fold progress.
+
+    Attributes
+    ----------
+    best_interaction_ : tuple of int
+    best_cvc_ : int — cross-validation consistency count.
+    best_mean_testing_ba_ : float
+    best_model_lookup_table_ : ndarray of shape (3**k,)
+    """
+
+    def __init__(self, k: int = 2, cv: int = 10, backend: str = "auto",
+                 verbose: bool = False):
+        self.k = k
+        self.cv = cv
+        self.backend = backend
+        self.verbose = verbose
+
+    def _create_lookup_table(self, X, y, interaction_indices):
+        """3^k binary LUT (reference MDR.py:176-195): cell is high-risk iff
+        case/(control+1e-9) strictly exceeds the global case/control ratio."""
+        k = self.k
+        powers = np.array([3 ** (k - 1 - j) for j in range(k)], np.int64)
+        cells = (X[:, np.asarray(interaction_indices, int)].astype(np.int64)
+                 @ powers)
+        n_cells = 3 ** k
+        case = np.bincount(cells[y == 1], minlength=n_cells)
+        ctrl = np.bincount(cells[y != 1], minlength=n_cells)
+        total_cases = case.sum()
+        total_controls = ctrl.sum()
+        threshold = (np.inf if total_controls == 0
+                     else total_cases / total_controls)
+        ratios = case / (ctrl + 1e-9)
+        return (ratios > threshold).astype(np.uint8)
+
+    def _internal_predict(self, X, interaction, lookup_table):
+        k = len(interaction)
+        powers = np.array([3 ** (k - 1 - j) for j in range(k)], np.int64)
+        cells = (X[:, np.asarray(interaction, int)].astype(np.int64) @ powers)
+        return lookup_table[cells]
+
+    def fit(self, X, y):
+        """Search all k-way interactions and fit the best MDR model."""
+        X, y = check_X_y(X, y, dtype=np.uint8)
+        self.classes_ = unique_labels(y)
+
+        if len(self.classes_) != 2:
+            raise ValueError("MDR only supports binary classification.")
+        if np.max(X) > 2 or np.min(X) < 0:
+            raise ValueError("Genotypes must be coded 0/1/2.")
+        if self.k > MAX_K_FOR_KERNEL:
+            raise ValueError(
+                f"k={self.k} exceeds MAX_K_FOR_KERNEL={MAX_K_FOR_KERNEL}.")
+
+        n_samples, n_features = X.shape
+        if self.k > n_features:
+            raise ValueError(
+                f"k must be <= n_features. Got k={self.k}, "
+                f"n_features={n_features}")
+
+        backend = str(self.backend).lower()
+        if backend not in ("auto", "cpu", "gpu", "tpu"):
+            raise ValueError("backend must be 'auto', 'CPU', 'TPU' or 'GPU'.")
+        if backend == "gpu":
+            raise RuntimeError(
+                "backend='GPU' requested but no CUDA device found; this "
+                "framework is TPU-native — use 'tpu' or 'auto'.")
+        effective = resolve_backend(backend, "MDR")
+        device = default_device(effective)
+        self.effective_backend_ = effective
+
+        from math import comb
+        n_combos = comb(n_features, self.k)
+        Xi = X.astype(np.int32)
+
+        skf = StratifiedKFold(n_splits=self.cv, shuffle=True, random_state=42)
+        fold_best_models = []
+        fold_test_bas = []
+        if self.verbose:
+            print(
+                f"CV with backend={effective.upper()}: "
+                f"{self.k}-way search over {n_combos} combos"
+            )
+
+        for fold_i, (train_idx, test_idx) in enumerate(skf.split(X, y),
+                                                       start=1):
+            X_train, X_test = Xi[train_idx], X[test_idx]
+            y_train, y_test = y[train_idx], y[test_idx]
+
+            # Stream combos in chunks: never hold all C(p, k) rows at once
+            # (the reference materialises them, MDR.py:247-250 — a memory
+            # hazard it acknowledges).
+            best_ba = -1.0
+            best_combo = None
+            gen = combinations(range(n_features), self.k)
+            while True:
+                chunk = np.fromiter(
+                    (i for tup in islice(gen, _COMBO_CHUNK) for i in tup),
+                    dtype=np.int32,
+                )
+                if chunk.size == 0:
+                    break
+                chunk = chunk.reshape(-1, self.k)
+                bas = batch_balanced_accuracy(
+                    X_train, y_train, chunk, self.k, device=device)
+                idx = int(np.argmax(bas))
+                if bas[idx] > best_ba:
+                    best_ba = float(bas[idx])
+                    best_combo = tuple(int(v) for v in chunk[idx])
+
+            fold_best_models.append(best_combo)
+            lookup = self._create_lookup_table(X[train_idx], y_train,
+                                               best_combo)
+            y_pred = self._internal_predict(X_test, best_combo, lookup)
+
+            tp = np.sum((y_test == 1) & (y_pred == 1))
+            tn = np.sum((y_test == 0) & (y_pred == 0))
+            n_pos = np.sum(y_test == 1)
+            n_neg = np.sum(y_test == 0)
+            sens = tp / n_pos if n_pos else 0
+            spec = tn / n_neg if n_neg else 0
+            test_ba = (sens + spec) / 2.0
+            fold_test_bas.append(test_ba)
+
+            if self.verbose:
+                print(f"  Fold {fold_i}/{self.cv}: best {best_combo}, "
+                      f"Test BA = {test_ba:.4f}")
+
+        counts = Counter(fold_best_models)
+        max_cvc = counts.most_common(1)[0][1]
+        top_models = [m for m, c in counts.items() if c == max_cvc]
+
+        best_model = None
+        best_avg_ba = -1.0
+        for model in top_models:
+            bas = [fold_test_bas[i] for i, m in enumerate(fold_best_models)
+                   if m == model]
+            avg_ba = float(np.mean(bas))
+            if avg_ba > best_avg_ba:
+                best_avg_ba = avg_ba
+                best_model = model
+
+        self.best_interaction_ = best_model
+        self.best_cvc_ = max_cvc
+        self.best_mean_testing_ba_ = best_avg_ba
+        if self.verbose:
+            print("\nFit Complete")
+            print(f"Best interaction: {self.best_interaction_}")
+            print(f"CVC: {self.best_cvc_}/{self.cv}")
+            print(f"Mean testing BA: {self.best_mean_testing_ba_:.4f}")
+
+        self.best_model_lookup_table_ = self._create_lookup_table(
+            X, y, self.best_interaction_)
+        return self
+
+    def predict(self, X):
+        """Predict 0/1 labels via the fitted lookup table."""
+        check_is_fitted(self)
+        X = check_array(X, dtype=np.uint8)
+        return self._internal_predict(
+            X, self.best_interaction_, self.best_model_lookup_table_)
+
+    def transform(self, X):
+        """Column vector of predictions (reference MDR.py:343-344)."""
+        return self.predict(X).reshape(-1, 1)
+
+    def predict_proba(self, X):
+        """Not implemented: MDR is a hard classifier (reference
+        MDR.py:346-357)."""
+        raise NotImplementedError(
+            "predict_proba is not supported in this MDR implementation."
+        )

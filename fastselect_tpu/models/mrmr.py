@@ -1,0 +1,130 @@
+"""mRMR selector (reference ``mRMR.py:30-152``).
+
+Greedy minimum-redundancy / maximum-relevance selection over discrete data.
+X and y are encoded against the UNION vocabulary of their unique values
+(reference ``mRMR.py:90-92``); relevance and the full p x p redundancy
+matrix are MI matmuls on the MXU; the tiny greedy loop stays on host with
+the reference's exact tie-break (np.isclose atol=1e-12, then lowest average
+redundancy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from sklearn.base import BaseEstimator, TransformerMixin
+from sklearn.utils.validation import check_is_fitted, validate_data
+
+from ..ops import mi as mi_ops
+from ..utils.backend import tpu_available
+
+
+def _encode_union(X: np.ndarray, y: np.ndarray):
+    """Integer-encode X and y against their combined sorted vocabulary
+    (reference ``mRMR.py:9-27,90-92``)."""
+    unique_vals = np.unique(np.concatenate([np.unique(X), np.unique(y)]))
+    X_enc = np.searchsorted(unique_vals, X).astype(np.int32)
+    y_enc = np.searchsorted(unique_vals, y).astype(np.int32)
+    return X_enc, y_enc, unique_vals
+
+
+class mRMR(BaseEstimator, TransformerMixin):
+    """Minimum-redundancy maximum-relevance feature selection.
+
+    Parameters
+    ----------
+    n_features_to_select : int
+        Number of features to select.
+    method : {'MID', 'MIQ'}, default='MID'
+        Selection criterion: relevance minus mean redundancy (MID) or
+        relevance divided by mean redundancy (MIQ).
+    backend : {'auto', 'tpu', 'cpu'}, default='cpu'
+        Compute backend for the MI matrices.
+
+    Attributes
+    ----------
+    relevance_scores_ : ndarray of shape (n_features,)
+    redundancy_matrix_ : ndarray of shape (n_features, n_features)
+    top_features_ : ndarray of shape (n_features_to_select,)
+    feature_importances_ : ndarray — alias of relevance scores.
+    """
+
+    def __init__(self, n_features_to_select: int, method: str = "MID",
+                 backend: str = "cpu"):
+        self.n_features_to_select = n_features_to_select
+        self.method = method
+        self.backend = backend
+        # Validated in __init__ to match the reference contract
+        # (mRMR.py:56-64).
+        if self.method not in ("MID", "MIQ"):
+            raise ValueError("Method must be either 'MID' or 'MIQ'.")
+        if self.backend not in ("auto", "cpu", "tpu", "gpu"):
+            raise ValueError(
+                "Backend must be one of 'auto', 'cpu', 'tpu', or 'gpu'.")
+        if self.backend == "gpu":
+            raise RuntimeError(
+                "GPU backend was selected, but this framework is TPU-native "
+                "and has no CUDA path. Use backend='tpu' or 'auto'."
+            )
+        if self.backend == "tpu" and not tpu_available():
+            raise RuntimeError(
+                "backend='tpu' was selected, but no TPU device is available.")
+
+    def fit(self, X: np.ndarray, y: np.ndarray):
+        """Select features greedily by the mRMR criterion."""
+        X, y = validate_data(self, X, y, dtype=None, y_numeric=True,
+                             ensure_2d=True)
+        self.n_features_in_ = X.shape[1]
+
+        if not (0 < self.n_features_to_select <= self.n_features_in_):
+            raise ValueError(
+                "n_features_to_select must be a positive integer less "
+                "than or equal to the number of features."
+            )
+
+        X_enc, y_enc, unique_vals = _encode_union(X, y)
+        self.unique_vals_ = unique_vals
+
+        relevance, redundancy = mi_ops.calculate_mi_matrices(
+            X_enc, y_enc, backend=self.backend, unit="bit")
+        self.relevance_scores_ = relevance
+        self.redundancy_matrix_ = redundancy
+
+        selected = np.zeros(self.n_features_to_select, dtype=np.int32)
+        remaining = np.ones(self.n_features_in_, dtype=bool)
+
+        first = int(np.argmax(relevance))
+        selected[0] = first
+        remaining[first] = False
+        redundancy_sum = redundancy[:, first].copy()
+
+        for i in range(1, self.n_features_to_select):
+            cand = np.where(remaining)[0]
+            mean_red = redundancy_sum[cand] / i
+            if self.method == "MID":
+                scores = relevance[cand] - mean_red
+            else:  # MIQ
+                scores = relevance[cand] / (mean_red + 1e-9)
+            best = np.max(scores)
+            tied = cand[np.isclose(scores, best, atol=1e-12)]
+            if tied.size > 1:
+                pick = tied[int(np.argmin(redundancy_sum[tied] / i))]
+            else:
+                pick = tied[0]
+            selected[i] = pick
+            remaining[pick] = False
+            redundancy_sum += redundancy[:, pick]
+
+        self.top_features_ = selected
+        self.feature_importances_ = self.relevance_scores_
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        """Reduce X to the selected features."""
+        check_is_fitted(self)
+        X = validate_data(self, X, reset=False, dtype=None)
+        return X[:, self.top_features_]
+
+    def fit_transform(self, X: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Fit to data, then transform it."""
+        self.fit(X, y)
+        return self.transform(X)

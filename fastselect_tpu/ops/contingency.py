@@ -1,0 +1,190 @@
+"""Contingency-table statistics as one-hot matmuls on the MXU.
+
+The reference builds joint histograms with per-sample scalar loops
+(``mutual_information.py:25-46``, ``CFS.py:44-64``) or CUDA shared-memory
+atomics (``mutual_information.py:70-115``).  On TPU a contingency table is a
+matmul of one-hot encodings:
+
+    counts[a, b] = sum_i onehot(u_i = a) * onehot(v_i = b)
+                 = onehot(U).T @ onehot(V)
+
+Batched over features (relevance vectors) and over feature-pair tiles
+(redundancy / r_ff matrices), every table lands on the MXU.  Counts are exact
+in fp32 for n < 2^24 samples.
+
+Tiles are sliced on host and passed as jit arguments: the compiled program
+is shape-keyed and reused for every tile (traced dynamic-slice offsets into
+one-hot matmuls trigger pathological XLA-CPU compile times).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Statistics from count tables
+# ---------------------------------------------------------------------------
+
+def mi_from_tables(tables: jnp.ndarray, n: jnp.ndarray,
+                   log_base: float) -> jnp.ndarray:
+    """MI per table over the last two axes, reference
+    ``mutual_information.py:25-46`` semantics: terms where p_xy > 1e-12,
+    denominator p_x*p_y + 1e-12, divided by log_base."""
+    p_xy = tables / n
+    p_x = p_xy.sum(axis=-1, keepdims=True)
+    p_y = p_xy.sum(axis=-2, keepdims=True)
+    ratio = p_xy / (p_x * p_y + _EPS)
+    terms = jnp.where(p_xy > _EPS, p_xy * jnp.log(jnp.maximum(ratio, _EPS)),
+                      0.0)
+    return terms.sum(axis=(-2, -1)) / log_base
+
+
+def su_from_tables(tables: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrical uncertainty per table (reference ``CFS.py:44-77``):
+    MI in bits with the CFS variant's guards (p_xy, p_x, p_y all > eps),
+    normalised by the marginal entropies."""
+    p_xy = tables / n
+    p_x = p_xy.sum(axis=-1)
+    p_y = p_xy.sum(axis=-2)
+    h_x = jnp.where(p_x > _EPS, -p_x * jnp.log2(jnp.maximum(p_x, _EPS)),
+                    0.0).sum(axis=-1)
+    h_y = jnp.where(p_y > _EPS, -p_y * jnp.log2(jnp.maximum(p_y, _EPS)),
+                    0.0).sum(axis=-1)
+    denom_ok = (h_x + h_y) > _EPS
+    px_b = p_x[..., :, None]
+    py_b = p_y[..., None, :]
+    valid = (p_xy > _EPS) & (px_b > _EPS) & (py_b > _EPS)
+    ratio = p_xy / jnp.maximum(px_b * py_b, _EPS)
+    mi = jnp.where(valid, p_xy * jnp.log2(jnp.maximum(ratio, _EPS)),
+                   0.0).sum(axis=(-2, -1))
+    return jnp.where(denom_ok, 2.0 * mi / jnp.where(denom_ok, h_x + h_y, 1.0),
+                     0.0)
+
+
+def entropy_from_counts(counts: jnp.ndarray) -> jnp.ndarray:
+    """Shannon entropy (bits) from count vectors along the last axis
+    (reference ``CFS.py:26-41``)."""
+    n = counts.sum(axis=-1, keepdims=True)
+    prob = counts / jnp.maximum(n, 1.0)
+    terms = jnp.where(prob > _EPS,
+                      -prob * jnp.log2(jnp.maximum(prob, _EPS)), 0.0)
+    return terms.sum(axis=-1)
+
+
+# Jitted entry points for host callers (eager op dispatch is extremely slow
+# on some platforms; every device computation in this package goes through
+# jit).
+@partial(jax.jit, static_argnames=("log_base",))
+def mi_tables_reduce(tables, n, log_base: float):
+    return mi_from_tables(tables, n, log_base)
+
+
+@jax.jit
+def su_tables_reduce(tables, n):
+    return su_from_tables(tables, n)
+
+
+# ---------------------------------------------------------------------------
+# Tiled builders (host-sliced tiles, one compiled program per shape)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("s_x", "s_y"))
+def _target_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
+    """Count tables (tile, s_x, s_y) of each column of Xt against y."""
+    n, tile = Xt.shape
+    xoh = jax.nn.one_hot(Xt, s_x, dtype=jnp.float32).reshape(n, tile * s_x)
+    counts = jax.lax.dot_general(
+        xoh, yoh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return counts.reshape(tile, s_x, s_y)
+
+
+@partial(jax.jit, static_argnames=("s", "stat", "log_base"))
+def _pair_tile_stat(Xi, Xj, n_real, *, s: int, stat: str, log_base: float):
+    """(ti, tj) statistic matrix from the joint tables of all column pairs."""
+    n, ti = Xi.shape
+    tj = Xj.shape[1]
+    xi_oh = jax.nn.one_hot(Xi, s, dtype=jnp.float32).reshape(n, ti * s)
+    xj_oh = jax.nn.one_hot(Xj, s, dtype=jnp.float32).reshape(n, tj * s)
+    counts = jax.lax.dot_general(
+        xi_oh, xj_oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(ti, s, tj, s).transpose(0, 2, 1, 3)  # (ti, tj, s, s)
+    if stat == "mi":
+        return mi_from_tables(counts, n_real, log_base)
+    if stat == "su":
+        return su_from_tables(counts, n_real)
+    raise ValueError(stat)  # pragma: no cover
+
+
+def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
+                          s_x: int, s_y: int, device=None) -> np.ndarray:
+    """Joint count tables of each feature vs the target, (p, s_x, s_y)."""
+    from ..utils.backend import execution_context
+
+    n, p = X_enc.shape
+    tile = int(min(256, max(8, 8192 // max(s_x, 1))))
+    p_pad = _round_up(p, tile)
+    Xp = np.zeros((n, p_pad), np.int32)
+    Xp[:, :p] = X_enc
+    outs = []
+    with execution_context(device):
+        yoh = jax.nn.one_hot(jnp.asarray(y_enc, jnp.int32), s_y,
+                             dtype=jnp.float32)
+        for t0 in range(0, p_pad, tile):
+            xt = jnp.asarray(Xp[:, t0:t0 + tile])
+            outs.append(np.asarray(_target_tables_tile(xt, yoh, s_x=s_x,
+                                                       s_y=s_y)))
+    return np.concatenate(outs, axis=0)[:p]
+
+
+def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
+                         device=None, log_base: float = math.log(2.0),
+                         symmetric: bool = True) -> np.ndarray:
+    """Full (p, p) pairwise statistic ('mi' or 'su') over feature pairs."""
+    from ..utils.backend import execution_context
+
+    n, p = X_enc.shape
+    tile = int(min(128, max(4, 4096 // max(s, 1))))
+    p_pad = _round_up(p, tile)
+    Xp = np.zeros((n, p_pad), np.int32)
+    Xp[:, :p] = X_enc
+    nt = p_pad // tile
+
+    out = np.zeros((p_pad, p_pad), np.float64)
+    with execution_context(device):
+        n_real = jnp.float32(n)
+        tiles = [jnp.asarray(Xp[:, t * tile:(t + 1) * tile])
+                 for t in range(nt)]
+        for ti in range(nt):
+            j_start = ti if symmetric else 0
+            for tj in range(j_start, nt):
+                blk = np.asarray(_pair_tile_stat(
+                    tiles[ti], tiles[tj], n_real,
+                    s=s, stat=stat, log_base=log_base))
+                if symmetric and tj == ti:
+                    # Mirror the upper triangle so stat(i,j) == stat(j,i)
+                    # bitwise (the reference computes each pair once).
+                    upper = np.triu(blk, 1)
+                    blk = upper + upper.T + np.diag(np.diag(blk))
+                out[ti * tile:(ti + 1) * tile,
+                    tj * tile:(tj + 1) * tile] = blk
+                if symmetric and tj != ti:
+                    out[tj * tile:(tj + 1) * tile,
+                        ti * tile:(ti + 1) * tile] = blk.T
+    return out[:p, :p]

@@ -1,0 +1,4 @@
+from .sharded import (sharded_relief_scores, sharded_multisurf_scores,
+                      make_mesh)
+
+__all__ = ["sharded_relief_scores", "sharded_multisurf_scores", "make_mesh"]

@@ -1,0 +1,80 @@
+"""Backend resolution for fastselect_tpu estimators.
+
+The reference dispatches ``backend='auto'|'gpu'|'cpu'`` on
+``numba.cuda.is_available()`` (reference ``MultiSURF.py:393-406``).  Here the
+native accelerator is a TPU: ``'auto'`` picks ``'tpu'`` when a TPU (or any
+non-CPU XLA accelerator) is visible, otherwise ``'cpu'`` — which is JAX's XLA
+CPU backend, the parity oracle used by the test-suite.  ``'gpu'`` is accepted
+for API compatibility and raises the reference's RuntimeError message, since
+this framework targets TPUs (reference ``MultiSURF.py:398-404``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+_VALID_BACKENDS = ("auto", "tpu", "cpu", "gpu")
+
+
+@functools.lru_cache(maxsize=1)
+def tpu_available() -> bool:
+    """True when an accelerator (TPU) device is visible to JAX."""
+    try:
+        return any(d.platform != "cpu" for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def default_device(backend: str):
+    """The jax.Device compute runs on for an effective backend."""
+    if backend == "cpu":
+        return jax.local_devices(backend="cpu")[0]
+    for d in jax.devices():
+        if d.platform != "cpu":
+            return d
+    return jax.devices()[0]
+
+
+def execution_context(device):
+    """Context manager placing uncommitted computation on `device`.
+
+    Explicitly committing inputs with ``jax.device_put(x, device)`` triggers
+    pathological XLA-CPU compile times (observed 75s vs 0.12s for the same
+    program); routing through ``jax.default_device`` avoids that entirely.
+    """
+    import contextlib
+
+    if device is None:
+        return contextlib.nullcontext()
+    return jax.default_device(device)
+
+
+def resolve_backend(backend: str, estimator_name: str = "estimator") -> str:
+    """Map a user-supplied backend string to an effective backend.
+
+    Returns ``'tpu'`` or ``'cpu'``.  Raises ValueError for unknown strings and
+    RuntimeError when an unavailable accelerator is forced, mirroring the
+    reference's dispatch contract (``MultiSURF.py:340-341,398-404``).
+    """
+    if backend not in _VALID_BACKENDS:
+        raise ValueError(
+            "backend must be one of 'auto', 'tpu', 'cpu', or 'gpu'"
+        )
+    if backend == "auto":
+        return "tpu" if tpu_available() else "cpu"
+    if backend == "gpu":
+        # TPU-native framework: no CUDA path exists.  Keep the reference's
+        # error contract for forced-GPU-without-CUDA.
+        raise RuntimeError(
+            "backend='gpu' was selected, but no compatible "
+            "NVIDIA GPU was found or CUDA toolkit is not installed. "
+            f"{estimator_name} is TPU-native: use backend='tpu' or 'auto'."
+        )
+    if backend == "tpu" and not tpu_available():
+        raise RuntimeError(
+            "backend='tpu' was selected, but no TPU device is available."
+        )
+    return backend

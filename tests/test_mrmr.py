@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from fastselect_tpu import mRMR
+from fastselect_tpu.models.mrmr import _encode_union
+from fastselect_tpu.mutual_information import (calculate_mi_matrices,
+                                               calculate_mi_single_pair)
+
+from oracles import mi_pair_bits
+
+
+@pytest.fixture
+def discrete_data(rng):
+    X = rng.randint(0, 4, (60, 9))
+    y = rng.randint(0, 3, 60)
+    return X, y
+
+
+def test_mi_matrices_match_oracle(discrete_data):
+    X, y = discrete_data
+    rel, red = calculate_mi_matrices(X, y, backend="cpu", unit="bit")
+    p = X.shape[1]
+    rel_o = np.array([mi_pair_bits(X[:, f], y) for f in range(p)])
+    assert_allclose(rel, rel_o, atol=1e-4)
+    for i in range(p):
+        for j in range(i + 1, p):
+            assert abs(red[i, j] - mi_pair_bits(X[:, i], X[:, j])) < 1e-4
+            assert red[i, j] == red[j, i]
+    assert_allclose(np.diag(red), 0.0)
+
+
+def test_mi_single_pair(discrete_data):
+    X, y = discrete_data
+    got = calculate_mi_single_pair(X[:, 0], y, backend="cpu")
+    assert abs(got - mi_pair_bits(X[:, 0], y)) < 1e-4
+
+
+def test_mi_rejects_float():
+    with pytest.raises(ValueError, match="integer"):
+        calculate_mi_single_pair(np.array([0.5, 1.0]), np.array([1, 0]))
+
+
+def test_mi_rejects_negative():
+    with pytest.raises(ValueError, match="negative"):
+        calculate_mi_matrices(np.array([[-1, 0], [1, 2]]),
+                              np.array([0, 1]), backend="cpu")
+
+
+def test_greedy_matches_oracle(discrete_data):
+    X, y = discrete_data
+    m = mRMR(n_features_to_select=4, backend="cpu").fit(X, y)
+    rel, red = calculate_mi_matrices(*_encode_union(X, y)[:2],
+                                     backend="cpu")
+    sel = [int(np.argmax(rel))]
+    rsum = red[:, sel[0]].copy()
+    for i in range(1, 4):
+        rem = [f for f in range(X.shape[1]) if f not in sel]
+        best = rem[int(np.argmax(rel[rem] - rsum[rem] / i))]
+        sel.append(best)
+        rsum += red[:, best]
+    assert list(m.top_features_) == sel
+
+
+def test_redundant_feature_not_selected(rng):
+    y = rng.randint(0, 2, 100)
+    f0 = y.copy()           # perfectly relevant
+    f1 = f0.copy()          # exact duplicate: redundant
+    f2 = (y + rng.randint(0, 2, 100)) % 3   # partially relevant
+    f3 = rng.randint(0, 3, 100)             # noise
+    X = np.column_stack([f0, f1, f2, f3])
+    m = mRMR(n_features_to_select=2, method="MID", backend="cpu").fit(X, y)
+    assert m.top_features_[0] in (0, 1)
+    # second pick must avoid the duplicate of the first
+    assert m.top_features_[1] not in (0, 1)
+
+
+def test_miq_method(discrete_data):
+    X, y = discrete_data
+    m = mRMR(n_features_to_select=3, method="MIQ", backend="cpu").fit(X, y)
+    assert len(set(m.top_features_)) == 3
+
+
+def test_encode_union():
+    X = np.array([[5, 7], [9, 5]])
+    y = np.array([7, 9])
+    X_enc, y_enc, vocab = _encode_union(X, y)
+    assert list(vocab) == [5, 7, 9]
+    assert X_enc.tolist() == [[0, 1], [2, 0]]
+    assert y_enc.tolist() == [1, 2]
+
+
+def test_invalid_method():
+    with pytest.raises(ValueError, match="MID"):
+        mRMR(n_features_to_select=2, method="bogus")
+
+
+def test_invalid_backend():
+    with pytest.raises(ValueError, match="Backend"):
+        mRMR(n_features_to_select=2, backend="bogus")
+
+
+def test_gpu_backend_raises():
+    with pytest.raises(RuntimeError):
+        mRMR(n_features_to_select=2, backend="gpu")
+
+
+def test_invalid_n_features(discrete_data):
+    X, y = discrete_data
+    with pytest.raises(ValueError, match="n_features_to_select"):
+        mRMR(n_features_to_select=100, backend="cpu").fit(X, y)
+
+
+def test_transform(discrete_data):
+    X, y = discrete_data
+    m = mRMR(n_features_to_select=4, backend="cpu").fit(X, y)
+    assert m.transform(X).shape == (60, 4)

@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+
+from fastselect_tpu.parallel import (sharded_relief_scores, make_mesh)
+from fastselect_tpu.ops.relief import relief_scores
+from fastselect_tpu.utils.preprocessing import (compute_recip_ranges,
+                                                detect_discrete_features)
+
+
+def _data(rng, n=48, p=20):
+    X = rng.rand(n, p).astype(np.float32)
+    X[:, 1] = rng.randint(0, 3, n)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    is_disc = detect_discrete_features(X, 10)
+    recip = compute_recip_ranges(X)
+    return X, y, recip, is_disc
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("multisurf", {}),
+    ("multisurf", {"use_star": True}),
+    ("surf", {}),
+])
+def test_sharded_matches_single_chip(algo, kw, rng):
+    X, y, recip, is_disc = _data(rng)
+    single = relief_scores(X, y, recip, is_disc, algo=algo, **kw)
+    sharded = sharded_relief_scores(X, y, recip, is_disc, algo=algo, **kw)
+    assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_sharded_relieff_matches(rng):
+    X, y, recip, is_disc = _data(rng)
+    cp = (np.bincount(y) / len(y)).astype(np.float32)
+    single = relief_scores(X, y, recip, is_disc, algo="relieff",
+                           n_neighbors=3, class_probs=cp)
+    sharded = sharded_relief_scores(X, y, recip, is_disc, algo="relieff",
+                                    n_neighbors=3, class_probs=cp)
+    assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_sharded_on_sub_mesh(rng):
+    X, y, recip, is_disc = _data(rng, n=20, p=9)
+    single = relief_scores(X, y, recip, is_disc, algo="multisurf")
+    for ndev in (1, 2, 4):
+        sharded = sharded_relief_scores(
+            X, y, recip, is_disc, algo="multisurf",
+            devices=jax.devices()[:ndev])
+        assert_allclose(sharded, single, atol=1e-6,
+                        err_msg=f"ndev={ndev}")
+
+
+def test_determinism_across_mesh_shapes(rng):
+    """Same input -> identical bits across runs and mesh shapes
+    (SURVEY.md §5 race-detection analogue: fixed reduction order)."""
+    X, y, recip, is_disc = _data(rng, n=32, p=12)
+    a = sharded_relief_scores(X, y, recip, is_disc, algo="multisurf",
+                              devices=jax.devices()[:4])
+    b = sharded_relief_scores(X, y, recip, is_disc, algo="multisurf",
+                              devices=jax.devices()[:4])
+    assert (a == b).all()
+
+
+def test_graft_entry_contract():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = fn(*args)
+    assert np.isfinite(np.asarray(out)).all()
+    ge.dryrun_multichip(8)

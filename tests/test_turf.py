@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+from sklearn.base import BaseEstimator
+
+from fastselect_tpu import TuRF, MultiSURF
+
+
+class MockScorer(BaseEstimator):
+    """Deterministic importances: feature j scores j (ascending)."""
+
+    def fit(self, X, y):
+        self.feature_importances_ = np.linspace(
+            0, 1, X.shape[1], dtype=np.float64)
+        self.n_features_in_ = X.shape[1]
+        return self
+
+
+@pytest.fixture
+def data(rng):
+    X = rng.rand(20, 10)
+    y = rng.randint(0, 2, 20)
+    return X, y
+
+
+def test_selects_last_features_with_mock(data):
+    X, y = data
+    # MockScorer ranks higher indices higher, so elimination keeps the tail.
+    t = TuRF(MockScorer(), n_features_to_select=3, pct_remove=0.2).fit(X, y)
+    assert_array_equal(t.top_features_, [7, 8, 9])
+
+
+def test_feature_importances_are_first_round(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=4, pct_remove=0.25).fit(X, y)
+    assert t.feature_importances_.shape == (10,)
+    assert_array_equal(t.feature_importances_,
+                       np.linspace(0, 1, 10))
+
+
+def test_n_iterations_cap(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=2, pct_remove=0.1,
+             n_iterations=1).fit(X, y)
+    # One iteration removes max(1, int(10*0.1)) = 1 feature -> 9 remain.
+    assert len(t._active_) == 9
+
+
+def test_overshoot_clamp(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=9, pct_remove=0.9).fit(X, y)
+    assert len(t.top_features_) == 9
+
+
+def test_invalid_pct_remove(data):
+    X, y = data
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError, match="pct_remove"):
+            TuRF(MockScorer(), pct_remove=bad).fit(X, y)
+
+
+def test_top_features_sorted_ascending(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=4, pct_remove=0.3).fit(X, y)
+    assert_array_equal(t.top_features_, np.sort(t.top_features_))
+
+
+def test_transform_shape(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=5, pct_remove=0.2).fit(X, y)
+    assert t.transform(X).shape == (20, 5)
+
+
+def test_verbose(data, capsys):
+    X, y = data
+    TuRF(MockScorer(), n_features_to_select=8, pct_remove=0.1,
+         verbose=True).fit(X, y)
+    assert "features remaining" in capsys.readouterr().out
+
+
+def test_with_real_multisurf(rng):
+    n = 30
+    y = np.repeat([0, 1], n // 2)
+    X = rng.rand(n, 8).astype(np.float32)
+    X[:, 4] = np.where(y == 0, 0.0, 3.0) + rng.randn(n) * 0.2
+    t = TuRF(MultiSURF(n_features_to_select=2, backend="cpu"),
+             n_features_to_select=2, pct_remove=0.3).fit(X, y)
+    assert 4 in t.top_features_
+
+
+def test_checkpoint_roundtrip(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=4, pct_remove=0.2).fit(X, y)
+    state = t.save_state()
+    t2 = TuRF(MockScorer(), n_features_to_select=4).load_state(state)
+    assert_array_equal(t2.top_features_, t.top_features_)
+    assert t2.transform(X).shape == t.transform(X).shape
