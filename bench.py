@@ -28,7 +28,7 @@ def main():
     y = rs.randint(0, 2, n)
 
     model = MultiSURF(n_features_to_select=10)
-    model.fit(X[: n // 4], y[: n // 4])  # warm-up/compile at smaller shape
+    model.fit(X, y)  # warm-up/compile at the benchmark shape
 
     model = MultiSURF(n_features_to_select=10)
     t0 = time.perf_counter()

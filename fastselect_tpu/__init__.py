@@ -19,6 +19,15 @@ Backends: ``backend='auto'|'tpu'|'cpu'`` (``'gpu'`` raises, mirroring the
 reference's behaviour when CUDA is absent).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: engine programs are shape-bucketed and
+# reused across processes (first TPU compile of the pairwise engine is
+# expensive; subsequent runs load from cache in ms).
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/fastselect_tpu_jax_cache")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from .models.relieff import ReliefF
 from .models.surf import SURF
 from .models.multisurf import MultiSURF

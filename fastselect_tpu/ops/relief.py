@@ -18,11 +18,13 @@ Here there is ONE engine with algorithm-specific *weighting rules*:
                (reference ``ReliefF.py:137-220``).
   pass 2:  scores[f] = sum_ij W[i, j] * diff(i, j, f)
 
-Everything is blocked into (T x T x FC) tiles scanned with lax control flow:
-static shapes, no data-dependent Python branching, fp32 accumulation.  Inputs
-are zero-padded to tile multiples; padded rows/features are masked via a
-validity vector (padded features produce exactly 0 diff: recip = 0 and
-discrete flag False).
+Blocking: focal tiles of T samples stream against j-chunks of CJ samples and
+feature chunks of FC — chunk sizes chosen so the (T, CJ, FC) diff
+temporaries stay ~100 MB (XLA materialises broadcast temporaries to HBM;
+oversized chunks thrash, undersized ones are dispatch-bound).  Static
+shapes, lax control flow, fp32 accumulation.  Inputs are zero-padded to
+chunk multiples; padded rows/features are masked via validity vectors
+(padded features produce exactly 0 diff: recip = 0, discrete flag False).
 
 The per-sample normalisation (scores / n_samples, reference
 ``MultiSURF.py:162,270``) is applied by the caller.
@@ -44,7 +46,7 @@ def _round_up(v: int, m: int) -> int:
 
 
 def _diff_block(xi_c, xj_c, recip_c, disc_c):
-    """diff tensor for one (i-tile, j-tile, f-chunk): (T, TJ, FC)."""
+    """diff tensor for one (i-tile, j-chunk, f-chunk): (T, CJ, FC)."""
     a = xi_c[:, None, :]
     b = xj_c[None, :, :]
     cont = jnp.abs(a - b) * recip_c[None, None, :]
@@ -52,15 +54,17 @@ def _diff_block(xi_c, xj_c, recip_c, disc_c):
     return jnp.where(disc_c[None, None, :], disc, cont)
 
 
-def _dist_rows(xi, Xt, recipf, discf):
+def _dist_rows(xi, Xf, recipf, discf, cj):
     """Pass 1 for one focal tile: full distance rows (T, n_pad).
 
-    xi: (NFC, T, FC) focal tile; Xt: (NB, NFC, T, FC) all samples.
+    xi: (NFC, T, FC) focal tile; Xf: (NFC, n_pad, FC) all samples.
     """
-    nb = Xt.shape[0]
+    nfc, t, fc = xi.shape
+    n_pad = Xf.shape[1]
+    nj = n_pad // cj
 
-    def over_j(bj):
-        xj = Xt[bj]  # (NFC, T, FC)
+    def over_j(j):
+        xj = jax.lax.dynamic_slice(Xf, (0, j * cj, 0), (nfc, cj, fc))
 
         def over_f(acc, c):
             xi_c, xj_c, r_c, d_c = c
@@ -68,41 +72,40 @@ def _dist_rows(xi, Xt, recipf, discf):
             return acc, None
 
         blk, _ = jax.lax.scan(
-            over_f,
-            jnp.zeros((xi.shape[1], xj.shape[1]), jnp.float32),
-            (xi, xj, recipf, discf),
-        )
-        return blk  # (T, T)
+            over_f, jnp.zeros((t, cj), jnp.float32),
+            (xi, xj, recipf, discf))
+        return blk  # (T, CJ)
 
-    d_blocks = jax.lax.map(over_j, jnp.arange(nb))  # (NB, T, T)
-    t = xi.shape[1]
-    return d_blocks.transpose(1, 0, 2).reshape(t, nb * t)
+    d_blocks = jax.lax.map(over_j, jnp.arange(nj))  # (NJ, T, CJ)
+    return d_blocks.transpose(1, 0, 2).reshape(t, n_pad)
 
 
-def _accumulate_scores(xi, Xt, recipf, discf, W):
+def _accumulate_scores(xi, Xf, recipf, discf, W, cj):
     """Pass 2 for one focal tile: partial scores (NFC, FC).
 
     W: (T, n_pad) pairwise weights for this focal tile.
     """
-    nb, nfc, t, fc = Xt.shape
-    Wb = W.reshape(t, nb, t).transpose(1, 0, 2)  # (NB, T, T)
+    nfc, t, fc = xi.shape
+    n_pad = Xf.shape[1]
+    nj = n_pad // cj
+    Wb = W.reshape(t, nj, cj).transpose(1, 0, 2)  # (NJ, T, CJ)
 
     def over_f(fi):
         xi_c = xi[fi]        # (T, FC)
         r_c = recipf[fi]
         d_c = discf[fi]
 
-        def over_j(acc, bj):
-            xj_c = Xt[bj, fi]  # (T, FC)
-            diff = _diff_block(xi_c, xj_c, r_c, d_c)  # (T, T, FC)
+        def over_j(acc, j):
+            xj_c = jax.lax.dynamic_slice(Xf, (fi, j * cj, 0),
+                                         (1, cj, fc))[0]
+            diff = _diff_block(xi_c, xj_c, r_c, d_c)  # (T, CJ, FC)
             acc = acc + jnp.einsum(
-                "ij,ijf->f", Wb[bj], diff,
-                preferred_element_type=jnp.float32,
-            )
+                "ij,ijf->f", Wb[j], diff,
+                preferred_element_type=jnp.float32)
             return acc, None
 
         part, _ = jax.lax.scan(over_j, jnp.zeros((fc,), jnp.float32),
-                               jnp.arange(nb))
+                               jnp.arange(nj))
         return part
 
     return jax.lax.map(over_f, jnp.arange(nfc))  # (NFC, FC)
@@ -203,80 +206,91 @@ def _weights_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
 # Engine
 # ---------------------------------------------------------------------------
 
-def relief_engine_core(Xt_f, yv_f, valid_f, row0,
-                       Xt_a, yv_a, valid_a,
+def relief_engine_core(Xf_f, yv_f, valid_f, row0,
+                       Xf_a, yv_a, valid_a,
                        recipf, discf, n_real, class_probs,
-                       *, algo, use_star, k):
-    """Scores contributed by the focal tiles ``Xt_f`` against all samples
-    ``Xt_a``.  ``row0`` is the global row id of Xt_f's first sample — the
-    sharded layer passes each device's focal shard here with the matching
-    offset, while single-chip callers pass the same arrays twice with 0.
+                       *, algo, use_star, k, t, cj):
+    """Scores contributed by the focal samples ``Xf_f`` against all samples
+    ``Xf_a``.  ``row0`` is the global row id of Xf_f's first sample — the
+    sharded layer passes each device's focal shard with the matching
+    offset; single-chip callers pass the same arrays twice with 0.
 
-    Xt_*: (NB, NFC, T, FC) tiled features; yv/valid: (NB, T).
+    Xf_*: (NFC, n, FC) feature-chunked layout; yv/valid: (n,).
     Returns (NFC * FC,) unnormalised score partials.
     """
-    nbf = Xt_f.shape[0]
-    _, nfc, t, fc = Xt_a.shape
-    y_flat = yv_a.reshape(-1)
-    valid_flat = valid_a.reshape(-1)
+    nfc, nf, fc = Xf_f.shape
 
     def per_focal_tile(bi):
-        xi = Xt_f[bi]
-        yi = yv_f[bi]
-        vi = valid_f[bi]
-        iid = row0 + bi * t + jnp.arange(t, dtype=jnp.int32)
+        i0 = bi * t
+        xi = jax.lax.dynamic_slice(Xf_f, (0, i0, 0), (nfc, t, fc))
+        yi = jax.lax.dynamic_slice(yv_f, (i0,), (t,))
+        vi = jax.lax.dynamic_slice(valid_f, (i0,), (t,))
+        iid = row0 + i0 + jnp.arange(t, dtype=jnp.int32)
 
-        D = _dist_rows(xi, Xt_a, recipf, discf)
+        D = _dist_rows(xi, Xf_a, recipf, discf, cj)
         if algo == "multisurf":
-            W = _weights_multisurf(D, yi, vi, iid, y_flat, valid_flat,
+            W = _weights_multisurf(D, yi, vi, iid, yv_a, valid_a,
                                    n_real, use_star)
         elif algo == "surf":
-            W = _weights_surf(D, yi, vi, iid, y_flat, valid_flat,
+            W = _weights_surf(D, yi, vi, iid, yv_a, valid_a,
                               n_real, use_star)
         elif algo == "relieff":
-            W = _weights_relieff(D, yi, vi, iid, y_flat, valid_flat,
+            W = _weights_relieff(D, yi, vi, iid, yv_a, valid_a,
                                  k, class_probs)
         else:  # pragma: no cover - guarded by caller
             raise ValueError(algo)
-        return _accumulate_scores(xi, Xt_a, recipf, discf, W)
+        return _accumulate_scores(xi, Xf_a, recipf, discf, W, cj)
 
-    partials = jax.lax.map(per_focal_tile, jnp.arange(nbf))  # (NBf, NFC, FC)
+    partials = jax.lax.map(per_focal_tile, jnp.arange(nf // t))
     return partials.sum(axis=0).reshape(nfc * fc)
 
 
-@partial(jax.jit, static_argnames=("algo", "use_star", "k"))
-def _relief_engine(Xt, yv, valid, recipf, discf, n_real, class_probs,
-                   *, algo, use_star, k):
-    """Single-device engine: every tile is focal."""
+@partial(jax.jit, static_argnames=("algo", "use_star", "k", "t", "cj"))
+def _relief_engine(Xf, yv, valid, recipf, discf, n_real, class_probs,
+                   *, algo, use_star, k, t, cj):
+    """Single-device engine: every sample is focal."""
     return relief_engine_core(
-        Xt, yv, valid, jnp.int32(0), Xt, yv, valid,
+        Xf, yv, valid, jnp.int32(0), Xf, yv, valid,
         recipf, discf, n_real, class_probs,
-        algo=algo, use_star=use_star, k=k)
+        algo=algo, use_star=use_star, k=k, t=t, cj=cj)
 
 
-def _tile_sizes(n: int, p: int) -> tuple[int, int]:
-    t = 64 if n >= 64 else _round_up(max(n, 1), 8)
-    fc = 512 if p >= 2048 else 128
-    return t, fc
+def _tile_sizes(n: int, p: int) -> tuple[int, int, int]:
+    """(T focal tile, CJ j-chunk, FC feature chunk).
+
+    Sized so the (T, CJ, FC) broadcast temporary is ~64-128 MB: big enough
+    to amortise dispatch, small enough not to blow HBM.
+    """
+    fc = 512 if p >= 512 else _round_up(p, 128)
+    t = 128 if n >= 128 else _round_up(max(n, 1), 8)
+    budget = 96 * 1024 * 1024 // 4  # fp32 elements
+    cj = max(t, min(4096, budget // (t * fc)))
+    cj = _round_up(cj, t)
+    return t, cj, fc
 
 
-def pack_tiles(x: np.ndarray, y: np.ndarray, recip: np.ndarray,
-               is_discrete: np.ndarray, t: int | None = None,
-               fc: int | None = None):
-    """Zero-pad and tile host arrays into the engine layout."""
+def pack_chunks(x: np.ndarray, y: np.ndarray, recip: np.ndarray,
+                is_discrete: np.ndarray, t: int | None = None,
+                cj: int | None = None, fc: int | None = None):
+    """Zero-pad and reshape host arrays into the engine layout.
+
+    Returns (Xf (NFC, n_pad, FC), yv (n_pad,), valid (n_pad,),
+    recipf (NFC, FC), discf (NFC, FC), (t, cj)).
+    """
     n, p = x.shape
-    t0, fc0 = _tile_sizes(n, p)
+    t0, cj0, fc0 = _tile_sizes(n, p)
     t = t or t0
     fc = fc or fc0
-    n_pad = _round_up(n, t)
+    cj = cj or cj0
+    n_pad = _round_up(n, int(np.lcm(t, cj)))
+    cj = min(cj, n_pad)
     p_pad = _round_up(p, fc)
-    nb, nfc = n_pad // t, p_pad // fc
+    nfc = p_pad // fc
 
     x_pad = np.zeros((n_pad, p_pad), dtype=np.float32)
     x_pad[:n, :p] = x
-    xt = np.ascontiguousarray(
-        x_pad.reshape(nb, t, nfc, fc).transpose(0, 2, 1, 3)
-    )
+    xf = np.ascontiguousarray(
+        x_pad.reshape(n_pad, nfc, fc).transpose(1, 0, 2))
     yv = np.full((n_pad,), -1, dtype=np.int32)
     yv[:n] = y
     valid = np.zeros((n_pad,), dtype=np.float32)
@@ -285,8 +299,8 @@ def pack_tiles(x: np.ndarray, y: np.ndarray, recip: np.ndarray,
     recipf[:p] = recip
     discf = np.zeros((p_pad,), dtype=bool)
     discf[:p] = is_discrete
-    return (xt, yv.reshape(nb, t), valid.reshape(nb, t),
-            recipf.reshape(nfc, fc), discf.reshape(nfc, fc))
+    return (xf, yv, valid, recipf.reshape(nfc, fc), discf.reshape(nfc, fc),
+            (t, cj))
 
 
 def relief_scores(
@@ -303,7 +317,7 @@ def relief_scores(
 ) -> np.ndarray:
     """Relief-family importance scores (already divided by n_samples)."""
     n, p = x.shape
-    xt, yv, valid, recipf, discf = pack_tiles(
+    xf, yv, valid, recipf, discf, (t, cj) = pack_chunks(
         np.asarray(x, np.float32), np.asarray(y, np.int32),
         recip, is_discrete)
     if class_probs is None:
@@ -311,8 +325,8 @@ def relief_scores(
     from ..utils.backend import execution_context
     with execution_context(device):
         scores = _relief_engine(
-            xt, yv, valid, recipf, discf,
+            xf, yv, valid, recipf, discf,
             np.float32(n), np.asarray(class_probs, np.float32),
-            algo=algo, use_star=use_star, k=int(n_neighbors))
+            algo=algo, use_star=use_star, k=int(n_neighbors), t=t, cj=cj)
         scores = np.asarray(scores, dtype=np.float32)
     return scores[:p] / np.float32(n)

@@ -7,11 +7,6 @@ sharded across the mesh, each chip scores its focal block against all
 samples, and the per-feature score partials are merged with a single
 ``psum`` over ICI.  The engine itself is unchanged —
 ``relief_engine_core`` takes (focal shard, global row offset, full array).
-
-For p >> n layouts a feature-sharded variant computes partial distances per
-feature shard and psums the distance tiles instead (Ulysses-vs-ring duality
-noted in SURVEY.md §5); that path rides the same core with
-``psum_distances=True``.
 """
 
 from __future__ import annotations
@@ -23,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.relief import relief_engine_core, pack_tiles, _round_up
+from ..ops.relief import relief_engine_core, pack_chunks, _round_up
 
 try:  # JAX >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -53,10 +48,9 @@ def sharded_relief_scores(
 ) -> np.ndarray:
     """Relief-family scores computed data-parallel over a device mesh.
 
-    Focal sample tiles are sharded over the mesh's single axis; X (tiled)
-    is replicated so each chip sees all j-blocks; per-feature partial score
-    vectors are psum-merged.  Bitwise-equal to the single-chip engine up to
-    fp32 summation order of the final psum.
+    Focal samples are sharded over the mesh's single axis; X (chunked
+    layout) is replicated so each chip sees all j-blocks; per-feature
+    partial score vectors are psum-merged over ICI.
     """
     n, p = x.shape
     if mesh is None:
@@ -64,56 +58,60 @@ def sharded_relief_scores(
     ndev = mesh.devices.size
     axis = mesh.axis_names[0]
 
-    # Tile so the focal-block count divides the mesh.
+    # Focal tile must divide each device's shard.
     t = 64 if n >= 64 * ndev else max(8, _round_up(max(n // ndev, 1), 8))
-    n_pad = _round_up(n, t * ndev)
-    xt, yv, valid, recipf, discf = pack_tiles(
+    xf, yv, valid, recipf, discf, (t, cj) = pack_chunks(
         np.asarray(x, np.float32), np.asarray(y, np.int32),
         recip, is_discrete, t=t)
-    # pack_tiles pads n to a multiple of t; extend to a multiple of t*ndev.
-    nb_needed = n_pad // t
-    if xt.shape[0] < nb_needed:
-        extra = nb_needed - xt.shape[0]
-        xt = np.concatenate(
-            [xt, np.zeros((extra,) + xt.shape[1:], xt.dtype)], axis=0)
-        yv = np.concatenate(
-            [yv, np.full((extra, t), -1, yv.dtype)], axis=0)
-        valid = np.concatenate(
-            [valid, np.zeros((extra, t), valid.dtype)], axis=0)
+    n_pad = xf.shape[1]
+    # Extend padding so the focal axis splits evenly across devices into
+    # tile multiples.
+    n_shard = _round_up(n_pad, t * ndev)
+    if n_shard > n_pad:
+        extra = n_shard - n_pad
+        xf = np.concatenate(
+            [xf, np.zeros((xf.shape[0], extra, xf.shape[2]), xf.dtype)],
+            axis=1)
+        yv = np.concatenate([yv, np.full((extra,), -1, yv.dtype)])
+        valid = np.concatenate([valid, np.zeros((extra,), valid.dtype)])
+        n_pad = n_shard
+    nf_local = n_pad // ndev
+    # j-chunk must divide n_pad.
+    cj = min(cj, n_pad)
+    while n_pad % cj:
+        cj //= 2
 
     if class_probs is None:
         class_probs = np.zeros((1,), np.float32)
-    nb = xt.shape[0]
-    nb_local = nb // ndev
 
-    @partial(jax.jit, static_argnames=("algo", "use_star", "k"))
-    def _run(xt_a, yv_a, valid_a, recipf_a, discf_a, n_real, cp,
-             *, algo, use_star, k):
-        def local_fn(xt_f, yv_f, valid_f, xt_all, yv_all, valid_all,
+    @partial(jax.jit, static_argnames=("algo", "use_star", "k", "t", "cj"))
+    def _run(xf_a, yv_a, valid_a, recipf_a, discf_a, n_real, cp,
+             *, algo, use_star, k, t, cj):
+        def local_fn(xf_f, yv_f, valid_f, xf_all, yv_all, valid_all,
                      rf, df, nr, cpl):
-            row0 = jax.lax.axis_index(axis).astype(jnp.int32) * (
-                nb_local * t)
+            row0 = jax.lax.axis_index(axis).astype(jnp.int32) * nf_local
             partial_scores = relief_engine_core(
-                xt_f, yv_f, valid_f, row0,
-                xt_all, yv_all, valid_all, rf, df, nr, cpl,
-                algo=algo, use_star=use_star, k=k)
+                xf_f, yv_f, valid_f, row0,
+                xf_all, yv_all, valid_all, rf, df, nr, cpl,
+                algo=algo, use_star=use_star, k=k, t=t, cj=cj)
             return jax.lax.psum(partial_scores, axis)
 
         return shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis),
+            in_specs=(P(None, axis, None), P(axis), P(axis),
                       P(), P(), P(), P(), P(), P(), P()),
             out_specs=P(),
-            # the engine's scan carries are initialised from unvarying
-            # zeros; skip the varying-manual-axes type check.
+            # engine scan carries start from unvarying zeros; skip the
+            # varying-manual-axes type check.
             check_vma=False,
-        )(xt_a, yv_a, valid_a, xt_a, yv_a, valid_a, recipf_a, discf_a,
+        )(xf_a, yv_a, valid_a, xf_a, yv_a, valid_a, recipf_a, discf_a,
           n_real, cp)
 
-    scores = _run(jnp.asarray(xt), jnp.asarray(yv), jnp.asarray(valid),
+    scores = _run(jnp.asarray(xf), jnp.asarray(yv), jnp.asarray(valid),
                   jnp.asarray(recipf), jnp.asarray(discf), np.float32(n),
                   jnp.asarray(class_probs, jnp.float32),
-                  algo=algo, use_star=use_star, k=int(n_neighbors))
+                  algo=algo, use_star=use_star, k=int(n_neighbors),
+                  t=t, cj=cj)
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
 
 

@@ -35,7 +35,7 @@ def test_sharded_matches_single_chip(algo, kw, rng):
     X, y, recip, is_disc = _data(rng)
     single = relief_scores(X, y, recip, is_disc, algo=algo, **kw)
     sharded = sharded_relief_scores(X, y, recip, is_disc, algo=algo, **kw)
-    assert_allclose(sharded, single, atol=1e-6)
+    assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
 
 
 def test_sharded_relieff_matches(rng):
@@ -45,7 +45,7 @@ def test_sharded_relieff_matches(rng):
                            n_neighbors=3, class_probs=cp)
     sharded = sharded_relief_scores(X, y, recip, is_disc, algo="relieff",
                                     n_neighbors=3, class_probs=cp)
-    assert_allclose(sharded, single, atol=1e-6)
+    assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
 
 
 def test_sharded_on_sub_mesh(rng):
@@ -55,7 +55,7 @@ def test_sharded_on_sub_mesh(rng):
         sharded = sharded_relief_scores(
             X, y, recip, is_disc, algo="multisurf",
             devices=jax.devices()[:ndev])
-        assert_allclose(sharded, single, atol=1e-6,
+        assert_allclose(sharded, single, atol=2e-5, rtol=1e-5,
                         err_msg=f"ndev={ndev}")
 
 
