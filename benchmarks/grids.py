@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Reproduction of the reference benchmark scenario grids
+(``/root/reference/benchmarking/benchmarking.py:24-27``): Relief-family
+fit runtimes over the p >> n grid (n=100, p in 200..1000) and the
+n >> p grid (n in 200..1000, p=100), selecting 10 features, with a JIT
+warm-up pass before timing — plus the large-scale sweeps from the
+published plots (BASELINE.md) and the flagship all-discrete SNP workload
+(paper.md:44 shape class).
+
+Writes CSV rows: scenario,estimator,n_samples,n_features,seconds,throughput.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from fastselect_tpu import MultiSURF, ReliefF, SURF  # noqa: E402
+from fastselect_tpu.utils.profiling import timed_fit, device_kind  # noqa: E402
+
+
+def make_estimators(select=10):
+    return {
+        "MultiSURF": lambda: MultiSURF(n_features_to_select=select),
+        "MultiSURF*": lambda: MultiSURF(n_features_to_select=select,
+                                        use_star=True),
+        "SURF": lambda: SURF(n_features_to_select=select),
+        "SURF*": lambda: SURF(n_features_to_select=select, use_star=True),
+        "ReliefF": lambda: ReliefF(n_features_to_select=select,
+                                   n_neighbors=10),
+    }
+
+
+def classification_data(n, p, seed=42):
+    from sklearn.datasets import make_classification
+    return make_classification(
+        n_samples=n, n_features=p,
+        n_informative=min(10, max(2, p // 20)), random_state=seed)
+
+
+def snp_data(n, p, seed=0):
+    rs = np.random.RandomState(seed)
+    return (rs.randint(0, 3, (n, p)).astype(np.int8),
+            rs.randint(0, 2, n))
+
+
+def run(out="benchmarks/results.csv", large=False, flagship=False):
+    rows = []
+    grids = [
+        ("p_dominant", [(100, p) for p in (200, 400, 600, 800, 1000)]),
+        ("n_dominant", [(n, 100) for n in (200, 400, 600, 800, 1000)]),
+    ]
+    if large:
+        grids += [
+            ("large_p", [(100, p) for p in (100_000, 300_000, 500_000)]),
+            ("large_n", [(n, 100) for n in (10_000, 30_000, 50_000)]),
+        ]
+    ests = make_estimators()
+    for scenario, shapes in grids:
+        for n, p in shapes:
+            X, y = classification_data(n, p)
+            for name, make in ests.items():
+                t = timed_fit(make, X, y)
+                rows.append((scenario, name, n, p,
+                             round(t.seconds, 5), round(t.throughput, 1)))
+                print(f"{scenario} {name} {n}x{p}: {t.seconds:.4f}s",
+                      flush=True)
+
+    if flagship:
+        # paper.md:44 shape class: all-discrete genotypes, n >> and p >>.
+        for n, p in [(10_000, 50_000), (30_000, 200_000)]:
+            X, y = snp_data(n, p)
+            t = timed_fit(
+                lambda: MultiSURF(n_features_to_select=10), X, y)
+            rows.append(("flagship_snp", "MultiSURF", n, p,
+                         round(t.seconds, 5), round(t.throughput, 1)))
+            print(f"flagship_snp MultiSURF {n}x{p}: {t.seconds:.2f}s",
+                  flush=True)
+
+    with open(out, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["scenario", "estimator", "n_samples", "n_features",
+                    "seconds", "samples2_features_per_s"])
+        w.writerows(rows)
+    print(f"device={device_kind()}  wrote {len(rows)} rows -> {out}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/results.csv")
+    ap.add_argument("--large", action="store_true",
+                    help="include the 100k-500k feature / 10k-50k sample "
+                    "sweeps from the published plots")
+    ap.add_argument("--flagship", action="store_true",
+                    help="include the 30k x 200k SNP workload")
+    a = ap.parse_args()
+    run(a.out, a.large, a.flagship)

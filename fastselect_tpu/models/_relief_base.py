@@ -11,9 +11,12 @@ import numpy as np
 from sklearn.base import BaseEstimator, TransformerMixin
 from sklearn.utils.validation import check_is_fitted, validate_data
 
-from ..utils.backend import resolve_backend, default_device
+from ..utils.backend import resolve_backend, default_device, tpu_available
 from ..utils.validation import resolve_n_features_to_select, check_min_samples
-from ..utils.preprocessing import detect_discrete_features
+from ..utils.preprocessing import (detect_discrete_features,
+                                   compute_recip_ranges,
+                                   analyze_features_device,
+                                   FeatureAnalysis)
 
 
 class BaseReliefSelector(TransformerMixin, BaseEstimator):
@@ -65,10 +68,10 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         n_samples = X.shape[0]
         n_select = self._validate_parameters(n_samples, self.n_features_in_)
 
-        is_discrete = detect_discrete_features(X, self.discrete_limit)
-        self.is_discrete_ = is_discrete
+        analysis = self._analyze(X)
+        self.is_discrete_ = analysis.is_discrete
 
-        scores = self._score(X, y, is_discrete, n_select)
+        scores = self._score(X, y, analysis, n_select)
         if scores is None:  # algorithm-specific early-out already populated
             return self
 
@@ -76,8 +79,22 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         self.top_features_ = np.argsort(scores)[::-1][:n_select]
         return self
 
-    def _score(self, X, y, is_discrete, n_select):  # pragma: no cover
+    def _score(self, X, y, analysis, n_select):  # pragma: no cover
         raise NotImplementedError
+
+    def _analyze(self, X) -> FeatureAnalysis:
+        """Per-feature discreteness / ranges / state codes.
+
+        Large inputs headed for a TPU use the single-device-sweep
+        analyzer (the reference's per-column ``np.unique`` probe is a
+        host hotspot at GWAS scale, ``MultiSURF.py:416-420``); small or
+        CPU-bound fits keep the cheap vectorized host probe.
+        """
+        if (X.size >= 1 << 22 and self.backend in ("auto", "tpu")
+                and tpu_available()):
+            return analyze_features_device(X, self.discrete_limit)
+        is_disc = detect_discrete_features(X, self.discrete_limit)
+        return FeatureAnalysis(is_disc, compute_recip_ranges(X))
 
     def transform(self, X):
         """Reduce X to the selected top features."""

@@ -12,7 +12,6 @@ import numpy as np
 
 from ._relief_base import BaseReliefSelector
 from ..ops.relief import relief_scores
-from ..utils.preprocessing import compute_recip_ranges
 
 
 class MultiSURF(BaseReliefSelector):
@@ -64,15 +63,15 @@ class MultiSURF(BaseReliefSelector):
         self.n_jobs = n_jobs
         self.verbose = verbose
 
-    def _score(self, X, y, is_discrete, n_select):
+    def _score(self, X, y, analysis, n_select):
         self.effective_backend_ = self._resolve_backend()
-        recip = compute_recip_ranges(X)
         # Labels only ever enter the kernel through y_i == y_j comparisons
         # (reference MultiSURF.py:86), so integer codes are equivalent.
         _, y_enc = np.unique(y, return_inverse=True)
         self._log_running("MultiSURF*" if self.use_star else "MultiSURF")
         return relief_scores(
-            X, y_enc.astype(np.int32), recip, is_discrete,
+            X, y_enc.astype(np.int32), analysis.recip, analysis.is_discrete,
             algo="multisurf", use_star=self.use_star,
             device=self._device(),
+            codes=analysis.codes, n_states=analysis.n_states,
         )

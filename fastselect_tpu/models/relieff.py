@@ -15,7 +15,6 @@ import numpy as np
 
 from ._relief_base import BaseReliefSelector
 from ..ops.relief import relief_scores
-from ..utils.preprocessing import compute_recip_ranges
 from ..utils.validation import resolve_n_features_to_select, check_min_samples
 
 
@@ -81,7 +80,7 @@ class ReliefF(BaseReliefSelector):
         return resolve_n_features_to_select(
             self.n_features_to_select, n_features)
 
-    def _score(self, X, y, is_discrete, n_select):
+    def _score(self, X, y, analysis, n_select):
         self.classes_, y_enc = np.unique(y, return_inverse=True)
         if len(self.classes_) < 2:
             # Single-class early-out (reference ReliefF.py:352-356).
@@ -102,11 +101,11 @@ class ReliefF(BaseReliefSelector):
 
         self.effective_backend_ = self._resolve_backend()
         class_probs = (np.bincount(y_enc) / len(y)).astype(np.float32)
-        recip = compute_recip_ranges(X, is_discrete,
-                                     unit_range_for_discrete=True)
         self._log_running()
         return relief_scores(
-            X.astype(np.float32), y_enc.astype(np.int32), recip, is_discrete,
+            X.astype(np.float32), y_enc.astype(np.int32), analysis.recip,
+            analysis.is_discrete,
             algo="relieff", n_neighbors=self.n_neighbors,
             class_probs=class_probs, device=self._device(),
+            codes=analysis.codes, n_states=analysis.n_states,
         )

@@ -12,7 +12,6 @@ import numpy as np
 
 from ._relief_base import BaseReliefSelector
 from ..ops.relief import relief_scores
-from ..utils.preprocessing import compute_recip_ranges
 
 
 class SURF(BaseReliefSelector):
@@ -61,16 +60,16 @@ class SURF(BaseReliefSelector):
         self.n_jobs = n_jobs
         self.verbose = verbose
 
-    def _score(self, X, y, is_discrete, n_select):
+    def _score(self, X, y, analysis, n_select):
         self.effective_backend_ = self._resolve_backend()
-        recip = compute_recip_ranges(X, is_discrete,
-                                     unit_range_for_discrete=True)
         _, y_enc = np.unique(y, return_inverse=True)
         self._log_running("SURF*" if self.use_star else "SURF")
         scores = relief_scores(
-            X.astype(np.float32), y_enc.astype(np.int32), recip, is_discrete,
+            X.astype(np.float32), y_enc.astype(np.int32), analysis.recip,
+            analysis.is_discrete,
             algo="surf", use_star=self.use_star,
             device=self._device(),
+            codes=analysis.codes, n_states=analysis.n_states,
         )
         if self.verbose:
             print("Feature scoring completed.")

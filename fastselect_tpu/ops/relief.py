@@ -131,8 +131,15 @@ def _row_mean_stats(D, vmask, n_real):
     return Dm, mu, denom
 
 
-def _weights_multisurf(D, yi, vi, iid, y_flat, valid_flat, n_real, use_star):
-    """mu - sigma/2 adaptive threshold (reference MultiSURF.py:193-251)."""
+def _rules_multisurf(D, yi, vi, iid, y_flat, valid_flat, n_real, use_star):
+    """mu - sigma/2 adaptive threshold (reference MultiSURF.py:193-251).
+
+    Returns the pairwise weight matrix decomposed as a list of
+    ``(boolean mask (T, n), per-row coefficient (T,))`` terms with
+    ``W = sum_k r_k[:, None] * M_k``.  The generic engine sums them into a
+    dense W; the discrete MXU engine multiplies each 0/1 mask against
+    one-hot state matrices so every matmul input is exactly representable.
+    """
     vmask, hit = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
     Dm, mu, denom = _row_mean_stats(D, vmask, n_real)
     sum_d2 = (Dm * Dm).sum(axis=1)
@@ -147,23 +154,32 @@ def _weights_multisurf(D, yi, vi, iid, y_flat, valid_flat, n_real, use_star):
     w_hit = -1.0 / jnp.maximum(n_hit, 1.0)
     w_miss = 1.0 / jnp.maximum(n_miss, 1.0)
 
-    W = (jnp.where(near_hit, w_hit[:, None], 0.0)
-         + jnp.where(near_miss, w_miss[:, None], 0.0))
+    rules = [(near_hit, w_hit), (near_miss, w_miss)]
     if use_star:
         far_miss = vmask & ~near & ~hit
-        W = W + jnp.where(far_miss, -w_miss[:, None], 0.0)
-    return W
+        rules.append((far_miss, -w_miss))
+    return rules
 
 
-def _weights_surf(D, yi, vi, iid, y_flat, valid_flat, n_real, use_star):
+def _rules_surf(D, yi, vi, iid, y_flat, valid_flat, n_real, use_star):
     """Mean-distance threshold, unit weights (reference SURF.py:131-195)."""
     vmask, hit = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
     _, mu, _ = _row_mean_stats(D, vmask, n_real)
     near = (D < mu[:, None]) & vmask
-    W = jnp.where(near & ~hit, 1.0, 0.0) - jnp.where(near & hit, 1.0, 0.0)
+    ones = jnp.ones(D.shape[:1], jnp.float32)
+    rules = [(near & ~hit, ones), (near & hit, -ones)]
     if use_star:
         far = vmask & ~near
-        W = W + jnp.where(far & hit, 1.0, 0.0) - jnp.where(far & ~hit, 1.0, 0.0)
+        rules.append((far & hit, ones))
+        rules.append((far & ~hit, -ones))
+    return rules
+
+
+def _sum_rules(rules):
+    """Dense pairwise weight matrix from (mask, row-coefficient) terms."""
+    W = jnp.zeros(rules[0][0].shape, jnp.float32)
+    for mask, r in rules:
+        W = W + jnp.where(mask, r[:, None], 0.0)
     return W
 
 
@@ -177,7 +193,7 @@ def _topk_weight_rows(D_masked, k, n_pad):
     return W, sel.sum(axis=1)
 
 
-def _weights_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
+def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
     """Class-prior-weighted k-NN rule — the reference CPU semantics
     (ReliefF.py:137-220), NOT the simpler GPU variant."""
     n_pad = D.shape[1]
@@ -188,7 +204,7 @@ def _weights_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
     Dh = jnp.where(hit & vmask, D, _INF)
     W_hit, h_found = _topk_weight_rows(Dh, k, n_pad)
     hit_norm = jnp.where(h_found > 0, 1.0 / jnp.maximum(h_found, 1.0), 0.0)
-    W = -W_hit * hit_norm[:, None]
+    rules = [(W_hit > 0, -hit_norm)]
 
     # k nearest misses per class at weight P(c) / (1 - P(y_i)) / k
     denom = 1.0 - class_probs[yi]
@@ -198,8 +214,24 @@ def _weights_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
         Dc = jnp.where(cand, D, _INF)
         W_c, _ = _topk_weight_rows(Dc, k, n_pad)
         w_c = (class_probs[c] / denom) / jnp.float32(k)
-        W = W + W_c * w_c[:, None]
-    return W
+        rules.append((W_c > 0, jnp.broadcast_to(w_c, hit_norm.shape)))
+    return rules
+
+
+def pair_weight_rules(D, yi, vi, iid, y_flat, valid_flat, n_real,
+                      class_probs, *, algo, use_star, k):
+    """Algorithm dispatch: (mask, row-coeff) decomposition of W for one
+    focal tile's distance rows D (T, n)."""
+    if algo == "multisurf":
+        return _rules_multisurf(D, yi, vi, iid, y_flat, valid_flat,
+                                n_real, use_star)
+    if algo == "surf":
+        return _rules_surf(D, yi, vi, iid, y_flat, valid_flat,
+                           n_real, use_star)
+    if algo == "relieff":
+        return _rules_relieff(D, yi, vi, iid, y_flat, valid_flat,
+                              k, class_probs)
+    raise ValueError(algo)  # pragma: no cover - guarded by caller
 
 
 # ---------------------------------------------------------------------------
@@ -228,17 +260,9 @@ def relief_engine_core(Xf_f, yv_f, valid_f, row0,
         iid = row0 + i0 + jnp.arange(t, dtype=jnp.int32)
 
         D = _dist_rows(xi, Xf_a, recipf, discf, cj)
-        if algo == "multisurf":
-            W = _weights_multisurf(D, yi, vi, iid, yv_a, valid_a,
-                                   n_real, use_star)
-        elif algo == "surf":
-            W = _weights_surf(D, yi, vi, iid, yv_a, valid_a,
-                              n_real, use_star)
-        elif algo == "relieff":
-            W = _weights_relieff(D, yi, vi, iid, yv_a, valid_a,
-                                 k, class_probs)
-        else:  # pragma: no cover - guarded by caller
-            raise ValueError(algo)
+        W = _sum_rules(pair_weight_rules(
+            D, yi, vi, iid, yv_a, valid_a, n_real, class_probs,
+            algo=algo, use_star=use_star, k=k))
         return _accumulate_scores(xi, Xf_a, recipf, discf, W, cj)
 
     partials = jax.lax.map(per_focal_tile, jnp.arange(nf // t))
@@ -314,9 +338,32 @@ def relief_scores(
     n_neighbors: int = 0,
     class_probs: np.ndarray | None = None,
     device=None,
+    codes: np.ndarray | None = None,
+    n_states: int = 0,
 ) -> np.ndarray:
     """Relief-family importance scores (already divided by n_samples)."""
     n, p = x.shape
+    if bool(np.all(is_discrete)):
+        # All-discrete data: every diff is a Hamming mismatch, which
+        # reformulates both O(n^2 p) passes as exact one-hot matmuls on
+        # the MXU (relief_discrete.py) — the fast path for the
+        # reference's flagship SNP benchmark shape (paper.md:44).
+        from .relief_discrete import relief_discrete_scores
+        return relief_discrete_scores(
+            x, y, algo=algo, use_star=use_star, n_neighbors=n_neighbors,
+            class_probs=class_probs, device=device,
+            codes=codes, n_states=n_states or None)
+    if (device is not None and device.platform == "tpu"
+            and n <= 32768):
+        # Continuous/mixed data on a real chip: fused Pallas kernels
+        # (VMEM-resident diff tiles, VPU-bound).  The n cap keeps the
+        # (n_pad, n_pad) distance/weight matrices within HBM; larger n
+        # streams focal tiles through the generic engine below.
+        from .relief_pallas import relief_pallas_scores
+        return relief_pallas_scores(
+            x, y, recip, is_discrete, algo=algo, use_star=use_star,
+            n_neighbors=n_neighbors, class_probs=class_probs,
+            device=device)
     xf, yv, valid, recipf, discf, (t, cj) = pack_chunks(
         np.asarray(x, np.float32), np.asarray(y, np.int32),
         recip, is_discrete)
@@ -324,6 +371,8 @@ def relief_scores(
         class_probs = np.zeros((1,), np.float32)
     from ..utils.backend import execution_context
     with execution_context(device):
+        if device is not None and device.platform != "cpu":
+            xf = jax.device_put(xf, device)
         scores = _relief_engine(
             xf, yv, valid, recipf, discf,
             np.float32(n), np.asarray(class_probs, np.float32),

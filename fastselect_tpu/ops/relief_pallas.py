@@ -1,0 +1,233 @@
+"""Fused Pallas TPU kernels for the Relief family on continuous/mixed data.
+
+The generic XLA engine (``relief.py``) materialises (T, CJ, FC) broadcast
+diff temporaries in HBM, making the O(n^2 p) elementwise work
+HBM-bandwidth-bound.  These kernels keep every diff tile in VMEM and are
+VPU-compute-bound instead — the TPU equivalent of the reference's CUDA
+kernels that stage 1024-feature tiles in shared memory
+(``MultiSURF.py:11-12,22-25,67-138``).
+
+Two kernels mirror the reference's two-pass structure:
+
+  pass 1  ``_dist_kernel``   grid (NI, NJ, NF): D[i-tile, j-tile] +=
+          sum over the f-tile of the mixed Hamming / range-scaled-L1 diff
+          (``MultiSURF.py:33-43`` semantics); the (TI, TJ) output block
+          stays VMEM-resident across all NF feature steps.
+  pass 2  ``_accum_kernel``  grid (NF, NI, NJ): scores[f-tile] +=
+          sum_ij W[i, j] * diff(i, j, f); the (FT,) score block stays
+          resident across all (NI, NJ) sample-tile steps.
+
+Between the passes the per-pair weights W are derived from D by the same
+(mask, coeff) rules the XLA engine uses (``relief.pair_weight_rules``),
+so algorithm semantics live in exactly one place.
+
+Diff tiles are processed in (8, TJ, FT) sub-batches: 8 focal rows at a
+time keeps the broadcast temporary ~4 MB (fits VMEM alongside the
+double-buffered input blocks) while giving the VPU full (8, 128)-lane
+shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .relief import pair_weight_rules, _sum_rules, _round_up
+
+_SB = 8  # focal-row sub-batch (f32 sublane count)
+
+
+def _mixed_diff(a, xj, recip, disc):
+    """(SB, TJ, FT) mixed diff: Hamming where disc > 0, else |d| * recip."""
+    d = a[:, None, :] - xj[None, :, :]
+    return jnp.where(disc[None, None, :] > 0,
+                     (d != 0).astype(jnp.float32),
+                     jnp.abs(d) * recip[None, None, :])
+
+
+def _dist_kernel(xi_ref, xj_ref, recip_ref, disc_ref, d_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    xj = xj_ref[:]
+    recip = recip_ref[0, :]
+    disc = disc_ref[0, :]
+    ti = xi_ref.shape[0]
+
+    def body(s, _):
+        a = xi_ref[pl.ds(s * _SB, _SB), :]
+        val = _mixed_diff(a, xj, recip, disc)
+        d_ref[pl.ds(s * _SB, _SB), :] += val.sum(axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, ti // _SB, body, 0)
+
+
+def _accum_kernel(xi_ref, xj_ref, w_ref, recip_ref, disc_ref, s_ref):
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    xj = xj_ref[:]
+    recip = recip_ref[0, :]
+    disc = disc_ref[0, :]
+    ti, ft = xi_ref.shape
+
+    def body(s, _):
+        a = xi_ref[pl.ds(s * _SB, _SB), :]
+        w = w_ref[pl.ds(s * _SB, _SB), :]
+        val = _mixed_diff(a, xj, recip, disc)
+        # accumulate straight into the resident output block; a loop
+        # carry here trips a Mosaic relayout bug on the reduced vector
+        s_ref[0:1, :] += (w[:, :, None] * val).sum(axis=(0, 1)).reshape(
+            1, ft)
+        return 0
+
+    jax.lax.fori_loop(0, ti // _SB, body, 0)
+
+
+def _tiles(n_pad: int, p_pad: int) -> tuple[int, int, int]:
+    ti = 256 if n_pad >= 256 else n_pad
+    tj = 256 if n_pad >= 256 else n_pad
+    ft = 512 if p_pad >= 512 else p_pad
+    return ti, tj, ft
+
+
+def pallas_dist_matrix(xp, recip, disc, ti, tj, ft):
+    """Full pairwise mixed-distance matrix (n_pad, n_pad) via pass 1."""
+    n_pad, p_pad = xp.shape
+    grid = (n_pad // ti, n_pad // tj, p_pad // ft)
+    return pl.pallas_call(
+        _dist_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ti, ft), lambda i, j, f: (i, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, ft), lambda i, j, f: (j, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ft), lambda i, j, f: (0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ft), lambda i, j, f: (0, f),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ti, tj), lambda i, j, f: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * n_pad * p_pad, bytes_accessed=0,
+            transcendentals=0),
+    )(xp, xp, recip, disc)
+
+
+def pallas_accumulate(xp, W, recip, disc, ti, tj, ft):
+    """Pass 2: per-feature scores (p_pad,) from pairwise weights W."""
+    n_pad, p_pad = xp.shape
+    nf = p_pad // ft
+    grid = (nf, n_pad // ti, n_pad // tj)
+    out = pl.pallas_call(
+        _accum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ti, ft), lambda f, i, j: (i, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, ft), lambda f, i, j: (j, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, tj), lambda f, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ft), lambda f, i, j: (0, f),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ft), lambda f, i, j: (0, f),
+                         memory_space=pltpu.VMEM),
+        ],
+        # one (8, ft) block per f-tile (TPU block rows must be a multiple
+        # of 8 unless equal to the array dim); only row 0 accumulates
+        out_specs=pl.BlockSpec((_SB, ft), lambda f, i, j: (f, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nf * _SB, ft), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_pad * n_pad * p_pad, bytes_accessed=0,
+            transcendentals=0),
+    )(xp, xp, W, recip, disc)
+    return out.reshape(nf, _SB, ft)[:, 0, :].reshape(p_pad)
+
+
+@partial(jax.jit,
+         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft"))
+def _pallas_engine(xp, yv, valid, recip2, disc2, n_real, class_probs,
+                   *, algo, use_star, k, ti, tj, ft):
+    n_pad = xp.shape[0]
+    D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft)
+    iid = jnp.arange(n_pad, dtype=jnp.int32)
+    W = _sum_rules(pair_weight_rules(
+        D, yv, valid, iid, yv, valid, n_real, class_probs,
+        algo=algo, use_star=use_star, k=k))
+    return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft)
+
+
+def relief_pallas_scores(
+    x: np.ndarray,
+    y: np.ndarray,
+    recip: np.ndarray,
+    is_discrete: np.ndarray,
+    *,
+    algo: str,
+    use_star: bool = False,
+    n_neighbors: int = 0,
+    class_probs: np.ndarray | None = None,
+    device=None,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Relief-family scores via the fused Pallas kernels (/ n_samples).
+
+    Materialises the (n_pad, n_pad) distance and weight matrices in HBM,
+    so it is the right path while 8 * n^2 bytes fits comfortably
+    (n <~ 40k on a 16 GB chip); beyond that callers stream focal blocks
+    through ``relief.relief_engine_core`` instead.
+    """
+    n, p = x.shape
+    n_pad = _round_up(max(n, _SB), _SB)
+    ti, tj, ft = _tiles(_round_up(n_pad, 256) if n_pad >= 256 else n_pad,
+                        _round_up(p, 128))
+    n_pad = _round_up(n_pad, max(ti, tj))
+    p_pad = _round_up(p, ft)
+
+    xp = np.zeros((n_pad, p_pad), np.float32)
+    xp[:n, :p] = x
+    yv = np.full((n_pad,), -1, np.int32)
+    yv[:n] = y
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    recip2 = np.zeros((1, p_pad), np.float32)
+    recip2[0, :p] = recip
+    disc2 = np.zeros((1, p_pad), np.float32)
+    disc2[0, :p] = is_discrete.astype(np.float32)
+    if class_probs is None:
+        class_probs = np.zeros((1,), np.float32)
+
+    from ..utils.backend import execution_context
+    with execution_context(device):
+        if device is not None:
+            # explicit H2D once — jit-argument transfers of large host
+            # arrays take a much slower path (and X stays HBM-resident)
+            xp = jax.device_put(xp, device)
+        if interpret:
+            with pltpu.force_tpu_interpret_mode():
+                scores = _pallas_engine(
+                    xp, yv, valid, recip2, disc2, np.float32(n),
+                    np.asarray(class_probs, np.float32),
+                    algo=algo, use_star=use_star, k=int(n_neighbors),
+                    ti=ti, tj=tj, ft=ft)
+        else:
+            scores = _pallas_engine(
+                xp, yv, valid, recip2, disc2, np.float32(n),
+                np.asarray(class_probs, np.float32),
+                algo=algo, use_star=use_star, k=int(n_neighbors),
+                ti=ti, tj=tj, ft=ft)
+        scores = np.asarray(scores, np.float32)
+    return scores[:p] / np.float32(n)

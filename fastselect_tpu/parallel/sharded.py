@@ -121,3 +121,79 @@ def sharded_multisurf_scores(x, y, recip, is_discrete, *, devices=None,
     return sharded_relief_scores(
         x, y, recip, is_discrete, algo="multisurf", use_star=use_star,
         devices=devices)
+
+
+def sharded_relief_discrete_scores(
+    codes: np.ndarray,
+    y: np.ndarray,
+    *,
+    algo: str = "multisurf",
+    use_star: bool = False,
+    n_neighbors: int = 0,
+    n_states: int | None = None,
+    class_probs: np.ndarray | None = None,
+    devices=None,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """All-discrete Relief scoring, data-parallel over a device mesh.
+
+    Same focal-shard layout as :func:`sharded_relief_scores` but through
+    the discrete MXU engine (``relief_discrete.relief_discrete_core``):
+    each chip one-hot-matmuls its focal block against the replicated code
+    matrix; per-feature partials merge with one psum over ICI.
+    """
+    from ..ops.relief_discrete import (relief_discrete_core, pack_discrete,
+                                       _discrete_tile_sizes)
+
+    n, p = codes.shape
+    if n_states is None:
+        n_states = int(np.max(codes)) + 1
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    ti0, ft = _discrete_tile_sizes(n, p, n_states)
+    # focal tile must divide each device's shard
+    ti = min(ti0, max(8, _round_up(n // ndev or 1, 8)))
+    cpad, yv, valid, (ti, ft) = pack_discrete(
+        np.asarray(codes, np.int8), np.asarray(y, np.int32), n_states,
+        ti=ti, ft=ft)
+    n_pad = cpad.shape[0]
+    n_shard = _round_up(n_pad, ti * ndev)
+    if n_shard > n_pad:
+        extra = n_shard - n_pad
+        cpad = np.concatenate(
+            [cpad, np.zeros((extra, cpad.shape[1]), cpad.dtype)])
+        yv = np.concatenate([yv, np.full((extra,), -1, yv.dtype)])
+        valid = np.concatenate([valid, np.zeros((extra,), valid.dtype)])
+        n_pad = n_shard
+    nf_local = n_pad // ndev
+    if class_probs is None:
+        class_probs = np.zeros((1,), np.float32)
+
+    @partial(jax.jit,
+             static_argnames=("algo", "use_star", "k", "ti", "ft", "s"))
+    def _run(cpad_a, yv_a, valid_a, n_real, cp,
+             *, algo, use_star, k, ti, ft, s):
+        def local_fn(c_f, y_f, v_f, c_a, y_a, v_a, nr, cpl):
+            row0 = jax.lax.axis_index(axis).astype(jnp.int32) * nf_local
+            part = relief_discrete_core(
+                c_f, y_f, v_f, row0, c_a, y_a, v_a, nr, cpl,
+                algo=algo, use_star=use_star, k=k, ti=ti, ft=ft,
+                n_states=s)
+            return jax.lax.psum(part, axis)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis),
+                      P(), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(cpad_a, yv_a, valid_a, cpad_a, yv_a, valid_a, n_real, cp)
+
+    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+                  np.float32(n), jnp.asarray(class_probs, jnp.float32),
+                  algo=algo, use_star=use_star, k=int(n_neighbors),
+                  ti=ti, ft=ft, s=int(n_states))
+    return np.asarray(scores, np.float32)[:p] / np.float32(n)

@@ -16,6 +16,8 @@ hotspot, so this is a single vectorized column sort + adjacent-diff count.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 
 
@@ -52,3 +54,70 @@ def compute_recip_ranges(
         ranges = np.where(is_discrete, 1.0, ranges)
     ranges = np.where(ranges == 0, 1.0, ranges)
     return (1.0 / ranges).astype(np.float32)
+
+
+@dataclass
+class FeatureAnalysis:
+    """Per-feature preprocessing facts shared by the Relief engines."""
+    is_discrete: np.ndarray          # (p,) bool
+    recip: np.ndarray                # (p,) f32, 1/range with zero guard
+    codes: np.ndarray | None = None  # (n, p) int8 ranks (discrete cols)
+    n_states: int = 0                # max cardinality over discrete cols
+
+
+def analyze_features_device(x: np.ndarray, discrete_limit: int,
+                            f_chunk: int = 8192) -> FeatureAnalysis:
+    """One device sweep computing discreteness, ranges, AND discrete state
+    codes per feature chunk.
+
+    The reference probes discreteness with a per-column host ``np.unique``
+    loop (``MultiSURF.py:416-420``) — a real hotspot at GWAS scale
+    (SURVEY.md §7).  Here each (n, f_chunk) chunk is sorted once on
+    device; cardinality, range, and rank codes all come from that one
+    sort.  Continuous columns get capped (meaningless) codes that the
+    engines never read.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n, p = x.shape
+    codes = np.empty((n, p), np.int8)
+    is_disc = np.empty(p, bool)
+    rng = np.empty(p, np.float32)
+
+    @jax.jit
+    def stats(xc):
+        xs = jnp.sort(xc, axis=0)
+        newv = jnp.concatenate(
+            [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
+        n_unique = newv.sum(axis=0)
+        return xs, newv, n_unique, xs[-1] - xs[0]
+
+    @partial(jax.jit, static_argnames=("s",))
+    def encode(xc, xs, newv, *, s):
+        rank = jnp.cumsum(newv, axis=0) - 1
+        out = jnp.zeros(xc.shape, jnp.int8)
+        for c in range(s - 1):
+            vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
+            vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
+            out = out + (xc > vc[None, :]).astype(jnp.int8)
+        return out
+
+    n_states = 1
+    for f0 in range(0, p, f_chunk):
+        xc = jnp.asarray(np.asarray(x[:, f0:f0 + f_chunk], np.float32))
+        xs, newv, n_unique, rg = stats(xc)
+        nu = np.asarray(n_unique)
+        d = nu <= discrete_limit
+        is_disc[f0:f0 + f_chunk] = d
+        rng[f0:f0 + f_chunk] = np.asarray(rg)
+        s_chunk = int(min(int(nu.max(initial=1)), discrete_limit))
+        codes[:, f0:f0 + f_chunk] = np.asarray(
+            encode(xc, xs, newv, s=max(s_chunk, 1)))
+        if d.any():
+            n_states = max(n_states, int(nu[d].max()))
+
+    rng[rng == 0] = 1.0
+    return FeatureAnalysis(is_disc, (1.0 / rng).astype(np.float32),
+                           codes, n_states)

@@ -1,0 +1,109 @@
+"""Cross-engine parity: the discrete MXU engine and the fused Pallas
+kernels must reproduce the generic XLA engine (which is itself pinned to
+the reference CPU semantics by the oracle tests) bit-for-bit in ranking
+and to float tolerance in scores."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose, assert_array_equal
+
+from fastselect_tpu.ops.relief import pack_chunks, _relief_engine
+from fastselect_tpu.ops.relief_discrete import (
+    relief_discrete_scores, encode_discrete)
+from fastselect_tpu.ops.relief_pallas import relief_pallas_scores
+
+
+def _generic_scores(x, y, recip, disc, algo, star, k, cp):
+    n, p = x.shape
+    xf, yv, valid, recipf, discf, (t, cj) = pack_chunks(x, y, recip, disc)
+    out = _relief_engine(
+        xf, yv, valid, recipf, discf, np.float32(n), cp,
+        algo=algo, use_star=star, k=k, t=t, cj=cj)
+    return np.asarray(out, np.float32)[:p] / n
+
+
+CASES = [("multisurf", False, 0, 2), ("multisurf", True, 0, 2),
+         ("surf", False, 0, 2), ("surf", True, 0, 3),
+         ("relieff", False, 5, 3)]
+
+
+@pytest.mark.parametrize("algo,star,k,ncls", CASES)
+def test_discrete_engine_matches_generic(algo, star, k, ncls, rng):
+    n, p = 61, 37
+    x = rng.randint(0, 3, (n, p)).astype(np.float32)
+    y = rng.randint(0, ncls, n).astype(np.int32)
+    x[:, 0] = y % 3  # informative feature
+    cp = np.bincount(y, minlength=ncls).astype(np.float32) / n
+    ref = _generic_scores(x, y, np.ones(p, np.float32),
+                          np.ones(p, bool), algo, star, k, cp)
+    got = relief_discrete_scores(x, y, algo=algo, use_star=star,
+                                 n_neighbors=k, class_probs=cp)
+    assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    assert_array_equal(np.argsort(got), np.argsort(ref))
+
+
+def test_encode_discrete_ranks_and_chunking(rng):
+    # values deliberately non-contiguous and per-column distinct
+    x = np.array([[3.5, 10.0], [3.5, -2.0], [7.0, 10.0], [-1.0, -2.0]],
+                 np.float32)
+    codes, s = encode_discrete(x, f_chunk=1)
+    assert s == 3
+    assert_array_equal(codes[:, 0], [1, 1, 2, 0])
+    assert_array_equal(codes[:, 1], [1, 0, 1, 0])
+
+
+def test_discrete_engine_precomputed_codes(rng):
+    n, p = 48, 23
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    via_x = relief_discrete_scores(codes.astype(np.float32), y,
+                                   algo="multisurf")
+    via_codes = relief_discrete_scores(None, y, algo="multisurf",
+                                       codes=codes, n_states=3)
+    assert_allclose(via_x, via_codes, atol=1e-7)
+
+
+def _tpu_present():
+    import jax
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="Pallas TPU kernels need a real TPU; the "
+                    "interpreter path is exercised by scripts/ manually "
+                    "(mirrors the reference's skip-gated GPU consistency "
+                    "tests, SURVEY.md §4.5)")
+@pytest.mark.parametrize("algo,star,k,ncls", CASES)
+def test_pallas_kernels_match_generic(algo, star, k, ncls, rng):
+    n, p = 300, 200
+    x = rng.rand(n, p).astype(np.float32)
+    x[:, :40] = rng.randint(0, 3, (n, 40))  # mixed discrete + continuous
+    y = rng.randint(0, ncls, n).astype(np.int32)
+    disc = np.zeros(p, bool)
+    disc[:40] = True
+    recip = (1.0 / np.maximum(x.max(0) - x.min(0), 1e-9)).astype(np.float32)
+    cp = np.bincount(y, minlength=ncls).astype(np.float32) / n
+    ref = _generic_scores(x, y, recip, disc, algo, star, k, cp)
+    got = relief_pallas_scores(x, y, recip, disc, algo=algo, use_star=star,
+                               n_neighbors=k, class_probs=cp)
+    assert_allclose(got, ref, atol=1e-4)
+    assert_array_equal(np.argsort(got), np.argsort(ref))
+
+
+def test_all_discrete_estimator_routes_to_mxu_engine(rng):
+    """End-to-end: an all-discrete fit goes through the discrete engine
+    and still matches the semantic oracle ranking."""
+    from fastselect_tpu import MultiSURF
+    from oracles import multisurf_scores
+
+    n, p = 40, 12
+    X = rng.randint(0, 3, (n, p)).astype(np.float64)
+    y = rng.randint(0, 2, n)
+    X[:, 2] = y * 2  # strongly relevant
+    m = MultiSURF(n_features_to_select=3, backend="cpu").fit(X, y)
+    expected = multisurf_scores(X, y)
+    assert_allclose(m.feature_importances_, expected, atol=2e-6)
+    assert m.top_features_[0] == 2

@@ -59,6 +59,26 @@ def test_sharded_on_sub_mesh(rng):
                         err_msg=f"ndev={ndev}")
 
 
+def test_sharded_discrete_matches_single_chip(rng):
+    from fastselect_tpu.parallel import sharded_relief_discrete_scores
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+
+    n, p = 48, 21
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    single = relief_discrete_scores(None, y, algo="multisurf",
+                                    codes=codes, n_states=3)
+    sharded = sharded_relief_discrete_scores(codes, y, algo="multisurf",
+                                             n_states=3)
+    assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+    for ndev in (2, 4):
+        sub = sharded_relief_discrete_scores(
+            codes, y, algo="multisurf", n_states=3,
+            devices=jax.devices()[:ndev])
+        assert_allclose(sub, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+
+
 def test_determinism_across_mesh_shapes(rng):
     """Same input -> identical bits across runs and mesh shapes
     (SURVEY.md §5 race-detection analogue: fixed reduction order)."""
