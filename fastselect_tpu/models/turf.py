@@ -68,19 +68,35 @@ class TuRF(TransformerMixin, BaseEstimator):
         if not 0 < self.pct_remove < 1:
             raise ValueError("pct_remove must be between 0 and 1.")
 
-        active = np.arange(self.n_features_in_)
         base = clone(self.estimator)
+        scorer = self._make_fast_scorer(base, X, y)
+        if scorer is not None:
+            return self._fit_loop(X, y, None, scorer)
+        return self._fit_loop(X, y, base, None)
 
-        base.fit(X, y)
-        self.feature_importances_ = np.asarray(
-            base.feature_importances_).copy()
-        scores = self.feature_importances_.copy()
+    def _fit_loop(self, X, y, base, scorer):
+        """Shared elimination loop.
+
+        ``scorer(active) -> scores[len(active)]`` is the device-resident
+        fast path; otherwise ``base.fit(X[:, active], y)`` re-validates
+        and re-uploads every round (the reference's behaviour,
+        ``TuRF.py:110-111``).
+        """
+        active = np.arange(self.n_features_in_)
+
+        if scorer is not None:
+            scores = scorer(active)
+        else:
+            base.fit(X, y)
+            scores = np.asarray(base.feature_importances_)
+        self.feature_importances_ = scores.copy()
 
         iteration = 0
         while True:
             if len(active) <= self.n_features_to_select:
                 break
-            if self.n_iterations is not None and iteration >= self.n_iterations:
+            if (self.n_iterations is not None
+                    and iteration >= self.n_iterations):
                 break
 
             n_remove = max(1, int(len(active) * self.pct_remove))
@@ -94,8 +110,11 @@ class TuRF(TransformerMixin, BaseEstimator):
                 print(f"Iteration {iteration}: {len(active)} features "
                       "remaining.")
 
-            base.fit(X[:, active], y)
-            scores = np.asarray(base.feature_importances_)
+            if scorer is not None:
+                scores = scorer(active)
+            else:
+                base.fit(X[:, active], y)
+                scores = np.asarray(base.feature_importances_)
             iteration += 1
 
         order = np.argsort(scores)[::-1]
@@ -103,6 +122,78 @@ class TuRF(TransformerMixin, BaseEstimator):
         self._final_scores_ = scores
         self._active_ = active
         return self
+
+    def _make_fast_scorer(self, base, X, y):
+        """Device-resident iteration fast path.
+
+        The reference's kernels accept a ``feat_idx`` subset argument
+        that TuRF never uses (``MultiSURF.py:16`` vs ``TuRF.py:110``);
+        the TPU equivalent: when the base estimator is a Relief selector
+        and every feature is discrete, encode X once, keep the codes in
+        HBM, and re-run the SAME compiled discrete-MXU engine each round
+        with dropped feature columns zeroed on device — a zeroed column
+        always matches, contributing exactly 0 to distances and scores,
+        identical to slicing it out.  No re-upload, no re-compile.
+
+        Returns ``scorer(active_indices) -> scores[len(active)]`` or
+        None when the fast path does not apply.
+        """
+        from ._relief_base import BaseReliefSelector
+        from ..utils.backend import tpu_available, resolve_backend
+
+        if not isinstance(base, BaseReliefSelector):
+            return None
+        backend = getattr(base, "backend", "auto")
+        if backend not in ("auto", "tpu") or not tpu_available():
+            return None
+        limit = getattr(base, "discrete_limit", 10)
+        from ..utils.preprocessing import detect_discrete_features
+        if not detect_discrete_features(X, limit).all():
+            return None
+
+        algo = base._algo_name.lower()
+        kwargs = {}
+        if algo == "relieff":
+            classes, y_enc = np.unique(y, return_inverse=True)
+            if len(classes) < 2:
+                return None
+            kwargs["n_neighbors"] = base.n_neighbors
+            kwargs["class_probs"] = (
+                np.bincount(y_enc) / len(y)).astype(np.float32)
+        else:
+            _, y_enc = np.unique(y, return_inverse=True)
+            kwargs["use_star"] = getattr(base, "use_star", False)
+
+        import jax
+        import jax.numpy as jnp
+        from ..ops.relief_discrete import (encode_discrete,
+                                           relief_discrete_scores)
+        from ..utils.backend import default_device, execution_context
+
+        resolve_backend(backend, "TuRF")  # raise early if tpu forced w/o
+        device = default_device("tpu")
+        codes_np, n_states = encode_discrete(np.asarray(X, np.float32))
+        with execution_context(device):
+            codes_dev = jax.device_put(codes_np)  # uncommitted: fast path
+
+        @jax.jit
+        def mask_cols(c, m):
+            return c * m[None, :]
+
+        p = X.shape[1]
+        y32 = y_enc.astype(np.int32)
+
+        def scorer(active):
+            mask = np.zeros((p,), np.int8)
+            mask[active] = 1
+            with execution_context(device):
+                masked = mask_cols(codes_dev, jnp.asarray(mask))
+            scores = relief_discrete_scores(
+                None, y32, algo=algo, codes=masked, n_states=n_states,
+                device=device, **kwargs)
+            return scores[active]
+
+        return scorer
 
     # -- checkpoint/resume of the elimination loop (TPU-build addition) ----
 

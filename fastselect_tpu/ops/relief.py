@@ -372,7 +372,7 @@ def relief_scores(
     from ..utils.backend import execution_context
     with execution_context(device):
         if device is not None and device.platform != "cpu":
-            xf = jax.device_put(xf, device)
+            xf = jax.device_put(xf)  # uncommitted H2D, the one fast path
         scores = _relief_engine(
             xf, yv, valid, recipf, discf,
             np.float32(n), np.asarray(class_probs, np.float32),

@@ -286,13 +286,14 @@ def relief_discrete_scores(
             codes, n_states = encode_discrete(np.asarray(x))
         elif n_states is None:
             n_states = int(np.max(codes)) + 1
-        if not isinstance(codes, jax.Array):
-            # Explicit H2D once, then pad on device: feeding large host
-            # arrays straight into jit arguments takes a far slower
-            # transfer path, and X stays HBM-resident for reuse.
-            codes = np.asarray(codes, np.int8)
-            codes = (jax.device_put(codes, device) if device is not None
-                     else jnp.asarray(codes))
+        if not isinstance(codes, jax.Array) and device is not None \
+                and device.platform != "cpu":
+            # Uncommitted device_put once (lands on the default device set
+            # by execution_context), then pad on device.  Every other
+            # transfer route measured catastrophically slower here:
+            # committed device_put(x, dev) ~25x slower, eager
+            # jnp.asarray > 1000x slower, jit-argument transfer ~30x.
+            codes = jax.device_put(np.asarray(codes, np.int8))
         cpad, yv, valid, (ti, ft) = pack_discrete(
             codes, np.asarray(y, np.int32), int(n_states))
         if class_probs is None:

@@ -212,10 +212,10 @@ def relief_pallas_scores(
 
     from ..utils.backend import execution_context
     with execution_context(device):
-        if device is not None:
-            # explicit H2D once — jit-argument transfers of large host
-            # arrays take a much slower path (and X stays HBM-resident)
-            xp = jax.device_put(xp, device)
+        if device is not None and device.platform != "cpu":
+            # uncommitted device_put once — committed / eager-asarray /
+            # jit-argument transfers are all far slower paths
+            xp = jax.device_put(xp)
         if interpret:
             with pltpu.force_tpu_interpret_mode():
                 scores = _pallas_engine(

@@ -93,6 +93,30 @@ def test_pallas_kernels_match_generic(algo, star, k, ncls, rng):
     assert_array_equal(np.argsort(got), np.argsort(ref))
 
 
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="device-resident TuRF fast path needs a TPU")
+def test_turf_fast_path_matches_generic_loop(rng):
+    """Zero-masked device-resident iterations must reproduce the
+    reference column-slicing loop exactly (same eliminations, same
+    final selection)."""
+    from fastselect_tpu import TuRF, MultiSURF
+
+    n, p = 200, 64
+    X = rng.randint(0, 3, (n, p)).astype(np.float64)
+    y = rng.randint(0, 2, n)
+    X[:, 5] = y * 2
+    X[:, 11] = (y + rng.randint(0, 2, n)).clip(0, 2)
+
+    fast = TuRF(MultiSURF(), n_features_to_select=8, pct_remove=0.25)
+    fast.fit(X, y)
+    slow = TuRF(MultiSURF(backend="cpu"), n_features_to_select=8,
+                pct_remove=0.25)
+    slow.fit(X, y)
+    assert_array_equal(fast.top_features_, slow.top_features_)
+    assert_allclose(fast.feature_importances_, slow.feature_importances_,
+                    rtol=1e-4, atol=1e-5)
+
+
 def test_all_discrete_estimator_routes_to_mxu_engine(rng):
     """End-to-end: an all-discrete fit goes through the discrete engine
     and still matches the semantic oracle ranking."""
