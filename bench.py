@@ -66,10 +66,13 @@ def main():
 
     # ---- secondary: continuous data, fused Pallas kernels ----
     nc, pc = 4096, 512
-    Xc = rs.rand(nc, pc).astype(np.float32)
+    with execution_context(device):
+        Xc = jax.jit(
+            lambda k: jax.random.uniform(k, (nc, pc), jnp.float32))(
+                jax.random.PRNGKey(1))
+        recip = np.asarray(jax.jit(
+            lambda a: 1.0 / jnp.maximum(a.max(0) - a.min(0), 1e-9))(Xc))
     yc = rs.randint(0, 2, nc).astype(np.int32)
-    recip = (1.0 / np.maximum(Xc.max(0) - Xc.min(0), 1e-9)).astype(
-        np.float32)
     disc = np.zeros(pc, bool)
     ckw = dict(algo="multisurf", device=device)
     if backend == "tpu":

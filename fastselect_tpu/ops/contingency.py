@@ -138,7 +138,10 @@ def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
     from ..utils.backend import execution_context
 
     n, p = X_enc.shape
-    tile = int(min(256, max(8, 8192 // max(s_x, 1))))
+    # tile so the (n, tile*s_x) one-hot stays ~256 MB and the dispatch
+    # count stays low (each call is a full H2D+launch round trip)
+    budget = (256 << 20) // 4
+    tile = int(min(8192, max(8, budget // max(n * s_x, 1))))
     p_pad = _round_up(p, tile)
     Xp = np.zeros((n, p_pad), np.int32)
     Xp[:, :p] = X_enc
@@ -160,7 +163,11 @@ def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
     from ..utils.backend import execution_context
 
     n, p = X_enc.shape
-    tile = int(min(128, max(4, 4096 // max(s, 1))))
+    # (tile*s)^2 count block ~400 MB / (n, tile*s) one-hot ~256 MB caps;
+    # big tiles keep the MXU fed and the per-call dispatch overhead low
+    lim_block = int((400 << 20) // 4) ** 0.5
+    lim_onehot = ((256 << 20) // 4) // max(n, 1)
+    tile = int(min(2048, max(4, min(lim_block, lim_onehot) // max(s, 1))))
     p_pad = _round_up(p, tile)
     Xp = np.zeros((n, p_pad), np.int32)
     Xp[:, :p] = X_enc

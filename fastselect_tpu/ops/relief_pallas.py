@@ -92,6 +92,11 @@ def _accum_kernel(xi_ref, xj_ref, w_ref, recip_ref, disc_ref, s_ref):
     jax.lax.fori_loop(0, ti // _SB, body, 0)
 
 
+def _pad_x(x, *, n_pad, p_pad):
+    n, p = x.shape
+    return jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, p_pad - p)))
+
+
 def _tiles(n_pad: int, p_pad: int) -> tuple[int, int, int]:
     ti = 256 if n_pad >= 256 else n_pad
     tj = 256 if n_pad >= 256 else n_pad
@@ -197,8 +202,12 @@ def relief_pallas_scores(
     n_pad = _round_up(n_pad, max(ti, tj))
     p_pad = _round_up(p, ft)
 
-    xp = np.zeros((n_pad, p_pad), np.float32)
-    xp[:n, :p] = x
+    if isinstance(x, jax.Array):
+        # device-resident X: pad under jit, never round-trip to host
+        xp = jax.jit(partial(_pad_x, n_pad=n_pad, p_pad=p_pad))(x)
+    else:
+        xp = np.zeros((n_pad, p_pad), np.float32)
+        xp[:n, :p] = np.asarray(x, np.float32)
     yv = np.full((n_pad,), -1, np.int32)
     yv[:n] = y
     valid = np.zeros((n_pad,), np.float32)
@@ -212,7 +221,8 @@ def relief_pallas_scores(
 
     from ..utils.backend import execution_context
     with execution_context(device):
-        if device is not None and device.platform != "cpu":
+        if (not isinstance(xp, jax.Array) and device is not None
+                and device.platform != "cpu"):
             # uncommitted device_put once — committed / eager-asarray /
             # jit-argument transfers are all far slower paths
             xp = jax.device_put(xp)
