@@ -1,0 +1,137 @@
+"""Ring-pass Relief scoring: X never replicated, sample blocks rotate
+over ICI.
+
+The replicated layout in ``sharded.py`` needs every chip to hold all of
+X — fine until n * p bytes approaches per-chip HBM.  Here both the focal
+axis AND the j-axis are sharded: each chip holds only its own sample
+block, and blocks rotate around the ring with ``lax.ppermute`` so every
+chip eventually scores its focal block against all of X (SURVEY.md §5:
+the all-pairs n x n interaction is this library's "sequence length";
+this is the ring-attention-style blocking of it, per-chip memory
+O(n*p/ndev + n^2/ndev) instead of O(n*p)).
+
+Two sweeps mirror the engine's two passes (the per-sample threshold
+needs the FULL distance row before any weight can be computed):
+
+  sweep 1: rotate blocks ndev times, accumulating exact match counts
+           (nf_local, n) via the discrete engine's one-hot matmuls;
+  weights: D = p_pad - match -> shared (mask, coeff) rules;
+  sweep 2: rotate blocks again; each step contracts the mask columns
+           belonging to the in-flight block against its one-hot states,
+           accumulating per-feature score partials; one psum at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .sharded import make_mesh, shard_map
+from ..ops.relief import pair_weight_rules, _round_up
+from ..ops.relief_discrete import (_match_rows, _accumulate_discrete,
+                                   _discrete_tile_sizes)
+
+
+def ring_relief_discrete_scores(
+    codes: np.ndarray,
+    y: np.ndarray,
+    *,
+    algo: str = "multisurf",
+    use_star: bool = False,
+    n_neighbors: int = 0,
+    n_states: int | None = None,
+    class_probs: np.ndarray | None = None,
+    devices=None,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """All-discrete Relief scores with ring-rotated sample blocks."""
+    n, p = codes.shape
+    if n_states is None:
+        n_states = int(np.max(codes)) + 1
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    _, ft = _discrete_tile_sizes(max(n // ndev, 1), p, n_states)
+    # block size: per-device sample count, tile-aligned
+    nb = _round_up(-(-n // ndev), 8)
+    n_pad = nb * ndev
+    p_pad = _round_up(p, ft)
+    cpad = np.zeros((n_pad, p_pad), np.int8)
+    cpad[:n, :p] = codes
+    yv = np.full((n_pad,), -1, np.int32)
+    yv[:n] = y
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    if class_probs is None:
+        class_probs = np.zeros((1,), np.float32)
+
+    @partial(jax.jit,
+             static_argnames=("algo", "use_star", "k", "ft", "s"))
+    def _run(cpad_a, yv_a, valid_a, n_real, cp,
+             *, algo, use_star, k, ft, s):
+        def local_fn(c_blk, y_blk, v_blk, nr, cpl):
+            # c_blk: this device's sample block (nb, p_pad)
+            me = jax.lax.axis_index(axis).astype(jnp.int32)
+            perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+            # sweep 1: accumulate full match rows for MY focal block
+            def sweep1(carry, _t):
+                blk, owner, match = carry
+                m_blk = _match_rows(c_blk, blk, ft, s)  # (nb, nb)
+                match = jax.lax.dynamic_update_slice(
+                    match, m_blk, (jnp.int32(0), owner * nb))
+                nxt = jax.lax.ppermute(blk, axis, perm)
+                nxt_owner = (owner - 1) % ndev
+                return (nxt, nxt_owner, match), None
+
+            match0 = jnp.zeros((nb, n_pad), jnp.int32)
+            (_, _, match), _ = jax.lax.scan(
+                sweep1, (c_blk, me, match0), jnp.arange(ndev))
+
+            D = (jnp.int32(p_pad) - match).astype(jnp.float32)
+            iid = me * nb + jnp.arange(nb, dtype=jnp.int32)
+            # y/validity of ALL samples: small vectors, gathered once
+            y_all = jax.lax.all_gather(y_blk, axis, tiled=True)
+            v_all = jax.lax.all_gather(v_blk, axis, tiled=True)
+            y_me = jax.lax.dynamic_slice(y_all, (me * nb,), (nb,))
+            v_me = jax.lax.dynamic_slice(v_all, (me * nb,), (nb,))
+            rules = pair_weight_rules(
+                D, y_me, v_me, iid, y_all, v_all, nr, cpl,
+                algo=algo, use_star=use_star, k=k)
+
+            # sweep 2: rotate blocks again, contracting the mask columns
+            # of the in-flight block against its one-hot states
+            def sweep2(carry, _t):
+                blk, owner, part = carry
+                sub_rules = [
+                    (jax.lax.dynamic_slice(m, (0, owner * nb), (nb, nb)),
+                     r) for m, r in rules]
+                part = part + _accumulate_discrete(
+                    c_blk, blk, sub_rules, ft, s)
+                nxt = jax.lax.ppermute(blk, axis, perm)
+                nxt_owner = (owner - 1) % ndev
+                return (nxt, nxt_owner, part), None
+
+            part0 = jnp.zeros((p_pad,), jnp.float32)
+            (_, _, part), _ = jax.lax.scan(
+                sweep2, (c_blk, me, part0), jnp.arange(ndev))
+            return jax.lax.psum(part, axis)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(cpad_a, yv_a, valid_a, n_real, cp)
+
+    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+                  np.float32(n), jnp.asarray(class_probs, jnp.float32),
+                  algo=algo, use_star=use_star, k=int(n_neighbors),
+                  ft=ft, s=int(n_states))
+    return np.asarray(scores, np.float32)[:p] / np.float32(n)

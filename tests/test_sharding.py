@@ -79,6 +79,33 @@ def test_sharded_discrete_matches_single_chip(rng):
                         err_msg=f"ndev={ndev}")
 
 
+@pytest.mark.parametrize("algo,kw", [
+    ("multisurf", {}),
+    ("multisurf", {"use_star": True}),
+    ("relieff", {"n_neighbors": 3}),
+])
+def test_ring_matches_single_chip(algo, kw, rng):
+    """Ring-rotated sample blocks (X never replicated) must reproduce
+    the single-chip discrete engine."""
+    from fastselect_tpu.parallel import ring_relief_discrete_scores
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+
+    n, p = 52, 19
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    if algo == "relieff":
+        kw = dict(kw, class_probs=(np.bincount(y, minlength=2)
+                                   / n).astype(np.float32))
+    single = relief_discrete_scores(None, y, algo=algo, codes=codes,
+                                    n_states=3, **kw)
+    for ndev in (2, 4, 8):
+        ring = ring_relief_discrete_scores(
+            codes, y, algo=algo, n_states=3,
+            devices=jax.devices()[:ndev], **kw)
+        assert_allclose(ring, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+
+
 def test_determinism_across_mesh_shapes(rng):
     """Same input -> identical bits across runs and mesh shapes
     (SURVEY.md §5 race-detection analogue: fixed reduction order)."""
