@@ -57,6 +57,20 @@ class MDR(BaseEstimator, ClassifierMixin):
         self.backend = backend
         self.verbose = verbose
 
+    def _score_combos(self, X_train, y_train, chunk, device):
+        """Combo-chunk balanced accuracies; shards the chunk across the
+        mesh when more than one accelerator is visible (combos are
+        independent — the reference is single-GPU only, MDR.py:273)."""
+        if self.effective_backend_ == "tpu":
+            import jax
+            tpus = [d for d in jax.devices() if d.platform != "cpu"]
+            if len(tpus) > 1:
+                from ..parallel import sharded_batch_balanced_accuracy
+                return sharded_batch_balanced_accuracy(
+                    X_train, y_train, chunk, self.k, devices=tpus)
+        return batch_balanced_accuracy(
+            X_train, y_train, chunk, self.k, device=device)
+
     def _create_lookup_table(self, X, y, interaction_indices):
         """3^k binary LUT (reference MDR.py:176-195): cell is high-risk iff
         case/(control+1e-9) strictly exceeds the global case/control ratio."""
@@ -142,8 +156,7 @@ class MDR(BaseEstimator, ClassifierMixin):
                 if chunk.size == 0:
                     break
                 chunk = chunk.reshape(-1, self.k)
-                bas = batch_balanced_accuracy(
-                    X_train, y_train, chunk, self.k, device=device)
+                bas = self._score_combos(X_train, y_train, chunk, device)
                 idx = int(np.argmax(bas))
                 if bas[idx] > best_ba:
                     best_ba = float(bas[idx])

@@ -1,0 +1,97 @@
+"""Feature-sharded Relief scoring — the p >> n (GWAS) layout.
+
+Dual of the sample-sharded layouts (SURVEY.md §2.3 / §5: shard features
+when the sample axis is small — Ulysses-vs-ring duality): each chip holds
+a feature shard of the code matrix, computes PARTIAL match counts over
+its features, and the (n, n) match matrix is psum-merged over ICI.
+Weights are then computed redundantly on every chip (cheap, O(n^2)), and
+pass 2 runs entirely locally per feature shard — the per-feature score
+partials need no further communication; the final (p,) vector is
+assembled with one tiled all_gather.
+
+Per-chip memory: O(n * p / ndev + n^2); per-fit comms: one psum of the
+(n, n) int32 match matrix + one all_gather of (p/ndev,) floats.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .sharded import make_mesh, shard_map
+from ..ops.relief import pair_weight_rules, _round_up
+from ..ops.relief_discrete import (_match_rows, _accumulate_discrete,
+                                   _discrete_tile_sizes)
+
+
+def feature_sharded_relief_discrete_scores(
+    codes: np.ndarray,
+    y: np.ndarray,
+    *,
+    algo: str = "multisurf",
+    use_star: bool = False,
+    n_neighbors: int = 0,
+    n_states: int | None = None,
+    class_probs: np.ndarray | None = None,
+    devices=None,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """All-discrete Relief scores with the feature axis sharded."""
+    n, p = codes.shape
+    if n_states is None:
+        n_states = int(np.max(codes)) + 1
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    _, ft = _discrete_tile_sizes(n, max(p // ndev, 1), n_states)
+    n_pad = _round_up(n, 8)
+    # feature shard: equal ft-aligned slices per device
+    pb = _round_up(-(-p // ndev), ft)
+    p_pad = pb * ndev
+    cpad = np.zeros((n_pad, p_pad), np.int8)
+    cpad[:n, :p] = codes
+    yv = np.full((n_pad,), -1, np.int32)
+    yv[:n] = y
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    if class_probs is None:
+        class_probs = np.zeros((1,), np.float32)
+
+    @partial(jax.jit,
+             static_argnames=("algo", "use_star", "k", "ft", "s"))
+    def _run(cpad_a, yv_a, valid_a, n_real, cp,
+             *, algo, use_star, k, ft, s):
+        def local_fn(c_shard, y_a, v_a, nr, cpl):
+            # c_shard: (n_pad, pb) — this device's feature slice.
+            # Partial mismatches over MY features; psum makes it total.
+            # _match_rows counts matches, so D needs the global p_pad:
+            match_local = _match_rows(c_shard, c_shard, ft, s)
+            match = jax.lax.psum(match_local, axis)
+            D = (jnp.int32(p_pad) - match).astype(jnp.float32)
+            iid = jnp.arange(D.shape[0], dtype=jnp.int32)
+            rules = pair_weight_rules(
+                D, y_a, v_a, iid, y_a, v_a, nr, cpl,
+                algo=algo, use_star=use_star, k=k)
+            part = _accumulate_discrete(c_shard, c_shard, rules, ft, s)
+            # per-shard totalW term is already correct: padded features
+            # inside the shard cancel exactly as in the single-chip case
+            return jax.lax.all_gather(part, axis, tiled=True)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(None, axis), P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(cpad_a, yv_a, valid_a, n_real, cp)
+
+    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+                  np.float32(n), jnp.asarray(class_probs, jnp.float32),
+                  algo=algo, use_star=use_star, k=int(n_neighbors),
+                  ft=ft, s=int(n_states))
+    return np.asarray(scores, np.float32)[:p] / np.float32(n)

@@ -1,0 +1,79 @@
+"""Combo-sharded MDR scoring over a device mesh.
+
+The reference launches one CUDA thread per combination on ONE GPU
+(``MDR.py:273-274``); at k >= 3 the C(p, k) grid explodes.  Here combo
+index ranges are sharded across the mesh (SURVEY.md §2.3: "combos
+enumerated host-side and sharded across chips"): each chip scores its
+combo shard against the replicated (n, p) genotype matrix — combos are
+independent, so the only communication is gathering the per-combo
+balanced accuracies at the end.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .sharded import make_mesh, shard_map
+from ..ops.mdr_op import _mdr_tile_ba, _round_up
+
+
+def sharded_batch_balanced_accuracy(
+    X: np.ndarray,
+    y: np.ndarray,
+    combos: np.ndarray,
+    k: int,
+    *,
+    devices=None,
+    mesh: Mesh | None = None,
+) -> np.ndarray:
+    """Balanced accuracy of every combo's MDR model, combos sharded."""
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    n, _ = X.shape
+    n_combos = combos.shape[0]
+    n_cells = 3 ** k
+    n_pad = _round_up(n, 64)
+    tc = int(max(8, min(1024,
+                        (48 * 1024 * 1024) // (n_pad * n_cells * 4))))
+    c_pad = _round_up(n_combos, tc * ndev)
+
+    Xp = np.zeros((n_pad, X.shape[1]), np.int32)
+    Xp[:n] = X
+    w_case = np.zeros((n_pad,), np.float32)
+    w_case[:n] = (y == 1)
+    w_ctrl = np.zeros((n_pad,), np.float32)
+    w_ctrl[:n] = (y != 1)
+    combos_p = np.zeros((c_pad, k), np.int32)
+    combos_p[:n_combos] = combos
+
+    @partial(jax.jit, static_argnames=("k", "tc"))
+    def _run(Xd, wc, wl, combos_a, *, k, tc):
+        def local_fn(cmb):
+            nt = cmb.shape[0] // tc
+
+            def per_tile(t):
+                tile = jax.lax.dynamic_slice(cmb, (t * tc, 0),
+                                             (tc, cmb.shape[1]))
+                return _mdr_tile_ba(Xd, wc, wl, tile, k=k)
+
+            return jax.lax.map(per_tile, jnp.arange(nt)).reshape(-1)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(axis, None),),
+            out_specs=P(axis),
+            check_vma=False,
+        )(combos_a)
+
+    out = np.asarray(_run(jnp.asarray(Xp), jnp.asarray(w_case),
+                          jnp.asarray(w_ctrl), jnp.asarray(combos_p),
+                          k=k, tc=tc))
+    return out[:n_combos]

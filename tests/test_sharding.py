@@ -106,6 +106,39 @@ def test_ring_matches_single_chip(algo, kw, rng):
                         err_msg=f"ndev={ndev}")
 
 
+def test_feature_sharded_matches_single_chip(rng):
+    """p >> n layout: feature axis sharded, match matrix psum-merged."""
+    from fastselect_tpu.parallel import (
+        feature_sharded_relief_discrete_scores)
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+
+    n, p = 30, 70
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    single = relief_discrete_scores(None, y, algo="multisurf",
+                                    codes=codes, n_states=3)
+    for ndev in (2, 8):
+        fs = feature_sharded_relief_discrete_scores(
+            codes, y, algo="multisurf", n_states=3,
+            devices=jax.devices()[:ndev])
+        assert_allclose(fs, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+
+
+def test_sharded_mdr_matches_single_chip(rng):
+    from fastselect_tpu.parallel import sharded_batch_balanced_accuracy
+    from fastselect_tpu.ops.mdr_op import batch_balanced_accuracy
+    from itertools import combinations
+
+    n, p, k = 60, 10, 2
+    X = rng.randint(0, 3, (n, p)).astype(np.int32)
+    y = rng.randint(0, 2, n)
+    combos = np.array(list(combinations(range(p), k)), np.int32)
+    single = batch_balanced_accuracy(X, y, combos, k)
+    sharded = sharded_batch_balanced_accuracy(X, y, combos, k)
+    assert_allclose(sharded, single, atol=1e-6)
+
+
 def test_determinism_across_mesh_shapes(rng):
     """Same input -> identical bits across runs and mesh shapes
     (SURVEY.md §5 race-detection analogue: fixed reduction order)."""
