@@ -102,3 +102,28 @@ def test_verbose(epistasis_data, capsys):
     MDR(k=2, cv=2, backend="cpu", verbose=True).fit(X, y)
     out = capsys.readouterr().out
     assert "Fit Complete" in out and "Best interaction" in out
+
+
+# -- property-based: public predict == private LUT predict (reference
+# test_mdr.py:135-150 pattern, hypothesis-generated genotype matrices) --
+try:
+    from hypothesis import given, settings, strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        X=arrays(np.uint8, (20, 4), elements=st.integers(0, 2)),
+        y=arrays(np.int64, (20,), elements=st.integers(0, 1)),
+    )
+    def test_predict_equals_internal_lut(X, y):
+        if len(np.unique(y)) < 2:
+            return
+        from fastselect_tpu import MDR
+
+        m = MDR(k=2, cv=2)
+        m.fit(X, y)
+        expected = m._internal_predict(
+            X, m.best_interaction_, m.best_model_lookup_table_)
+        np.testing.assert_array_equal(m.predict(X), expected)
+except ImportError:  # pragma: no cover
+    pass
