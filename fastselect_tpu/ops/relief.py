@@ -353,17 +353,26 @@ def relief_scores(
             x, y, algo=algo, use_star=use_star, n_neighbors=n_neighbors,
             class_probs=class_probs, device=device,
             codes=codes, n_states=n_states or None)
-    if (device is not None and device.platform == "tpu"
-            and n <= 32768):
-        # Continuous/mixed data on a real chip: fused Pallas kernels
-        # (VMEM-resident diff tiles, VPU-bound).  The n cap keeps the
-        # (n_pad, n_pad) distance/weight matrices within HBM; larger n
-        # streams focal tiles through the generic engine below.
-        from .relief_pallas import relief_pallas_scores
-        return relief_pallas_scores(
-            x, y, recip, is_discrete, algo=algo, use_star=use_star,
-            n_neighbors=n_neighbors, class_probs=class_probs,
-            device=device)
+    if device is not None and device.platform == "tpu":
+        from .relief_hybrid import relief_hybrid_scores, HYBRID_MAX_N
+        if bool(np.any(is_discrete)) and n <= HYBRID_MAX_N:
+            # Mixed data: discrete columns as MXU one-hot matmuls,
+            # continuous columns through the Pallas kernels, weights
+            # computed once from the combined distances.
+            return relief_hybrid_scores(
+                x, y, recip, is_discrete, algo=algo, use_star=use_star,
+                n_neighbors=n_neighbors, class_probs=class_probs,
+                device=device, codes=codes, n_states=n_states or None)
+        if n <= 32768:
+            # Pure-continuous on a real chip: fused Pallas kernels
+            # (VMEM-resident diff tiles, VPU-bound).  The n cap keeps
+            # the (n_pad, n_pad) distance/weight matrices within HBM;
+            # larger n streams focal tiles through the generic engine.
+            from .relief_pallas import relief_pallas_scores
+            return relief_pallas_scores(
+                x, y, recip, is_discrete, algo=algo, use_star=use_star,
+                n_neighbors=n_neighbors, class_probs=class_probs,
+                device=device)
     xf, yv, valid, recipf, discf, (t, cj) = pack_chunks(
         np.asarray(x, np.float32), np.asarray(y, np.int32),
         recip, is_discrete)

@@ -94,6 +94,29 @@ def test_pallas_kernels_match_generic(algo, star, k, ncls, rng):
 
 
 @pytest.mark.skipif(not _tpu_present(),
+                    reason="hybrid engine runs Pallas kernels (TPU only)")
+@pytest.mark.parametrize("algo,star,k,ncls", CASES)
+def test_hybrid_engine_matches_generic(algo, star, k, ncls, rng):
+    from fastselect_tpu.ops.relief_hybrid import relief_hybrid_scores
+
+    n, p = 300, 96
+    x = rng.rand(n, p).astype(np.float32)
+    x[:, :40] = rng.randint(0, 3, (n, 40))
+    x[:, 60:70] = rng.randint(0, 5, (n, 10))
+    y = rng.randint(0, ncls, n).astype(np.int32)
+    disc = np.zeros(p, bool)
+    disc[:40] = True
+    disc[60:70] = True
+    recip = (1.0 / np.maximum(x.max(0) - x.min(0), 1e-9)).astype(np.float32)
+    cp = np.bincount(y, minlength=ncls).astype(np.float32) / n
+    ref = _generic_scores(x, y, recip, disc, algo, star, k, cp)
+    got = relief_hybrid_scores(x, y, recip, disc, algo=algo, use_star=star,
+                               n_neighbors=k, class_probs=cp)
+    assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    assert_array_equal(np.argsort(got), np.argsort(ref))
+
+
+@pytest.mark.skipif(not _tpu_present(),
                     reason="device-resident TuRF fast path needs a TPU")
 def test_turf_fast_path_matches_generic_loop(rng):
     """Zero-masked device-resident iterations must reproduce the
