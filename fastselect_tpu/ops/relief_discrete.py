@@ -279,11 +279,13 @@ def relief_discrete_scores(
     matrices that are already 0..S-1) to skip the encoding pass.
     """
     from ..utils.backend import execution_context
+    from ..utils.logging import phase
 
     n, p = x.shape if x is not None else codes.shape
     with execution_context(device):
         if codes is None:
-            codes, n_states = encode_discrete(np.asarray(x))
+            with phase("relief_discrete.encode", work=n * p):
+                codes, n_states = encode_discrete(np.asarray(x))
         elif n_states is None:
             n_states = int(np.max(codes)) + 1
         if not isinstance(codes, jax.Array) and device is not None \
@@ -298,10 +300,12 @@ def relief_discrete_scores(
             codes, np.asarray(y, np.int32), int(n_states))
         if class_probs is None:
             class_probs = np.zeros((1,), np.float32)
-        scores = _relief_discrete_engine(
-            cpad, yv, valid, np.float32(n),
-            np.asarray(class_probs, np.float32),
-            algo=algo, use_star=use_star, k=int(n_neighbors),
-            ti=ti, ft=ft, n_states=int(n_states))
-        scores = np.asarray(scores, np.float32)
+        with phase(f"relief_discrete.engine[{algo}]",
+                   work=float(n) * n * p):
+            scores = _relief_discrete_engine(
+                cpad, yv, valid, np.float32(n),
+                np.asarray(class_probs, np.float32),
+                algo=algo, use_star=use_star, k=int(n_neighbors),
+                ti=ti, ft=ft, n_states=int(n_states))
+            scores = np.asarray(scores, np.float32)
     return scores[:p] / np.float32(n)

@@ -234,10 +234,14 @@ def relief_pallas_scores(
                     algo=algo, use_star=use_star, k=int(n_neighbors),
                     ti=ti, tj=tj, ft=ft)
         else:
-            scores = _pallas_engine(
-                xp, yv, valid, recip2, disc2, np.float32(n),
-                np.asarray(class_probs, np.float32),
-                algo=algo, use_star=use_star, k=int(n_neighbors),
-                ti=ti, tj=tj, ft=ft)
+            from ..utils.logging import phase
+            with phase(f"relief_pallas.engine[{algo}]",
+                       work=float(n) * n * p):
+                scores = _pallas_engine(
+                    xp, yv, valid, recip2, disc2, np.float32(n),
+                    np.asarray(class_probs, np.float32),
+                    algo=algo, use_star=use_star, k=int(n_neighbors),
+                    ti=ti, tj=tj, ft=ft)
+                scores = np.asarray(scores, np.float32)
         scores = np.asarray(scores, np.float32)
     return scores[:p] / np.float32(n)
