@@ -363,11 +363,12 @@ def relief_scores(
                 x, y, recip, is_discrete, algo=algo, use_star=use_star,
                 n_neighbors=n_neighbors, class_probs=class_probs,
                 device=device, codes=codes, n_states=n_states or None)
-        if n <= 32768:
+        if n <= 131072:
             # Pure-continuous on a real chip: fused Pallas kernels
-            # (VMEM-resident diff tiles, VPU-bound).  The n cap keeps
-            # the (n_pad, n_pad) distance/weight matrices within HBM;
-            # larger n streams focal tiles through the generic engine.
+            # (VMEM-resident diff tiles, VPU-bound); above ~16k samples
+            # focal super-blocks stream so only (nb, n) distance/weight
+            # blocks materialise.  Beyond the cap the generic engine
+            # below streams with smaller footprint.
             from .relief_pallas import relief_pallas_scores
             return relief_pallas_scores(
                 x, y, recip, is_discrete, algo=algo, use_star=use_star,

@@ -104,10 +104,16 @@ def _tiles(n_pad: int, p_pad: int) -> tuple[int, int, int]:
     return ti, tj, ft
 
 
-def pallas_dist_matrix(xp, recip, disc, ti, tj, ft):
-    """Full pairwise mixed-distance matrix (n_pad, n_pad) via pass 1."""
+def pallas_dist_matrix(xp, recip, disc, ti, tj, ft, xi=None):
+    """Pairwise mixed-distance matrix via pass 1.
+
+    Square (xp vs xp) by default; pass ``xi`` (nb, p_pad) for a
+    rectangular focal block vs all samples (the large-n blocked path).
+    """
     n_pad, p_pad = xp.shape
-    grid = (n_pad // ti, n_pad // tj, p_pad // ft)
+    if xi is None:
+        xi = xp
+    grid = (xi.shape[0] // ti, n_pad // tj, p_pad // ft)
     return pl.pallas_call(
         _dist_kernel,
         grid=grid,
@@ -123,18 +129,23 @@ def pallas_dist_matrix(xp, recip, disc, ti, tj, ft):
         ],
         out_specs=pl.BlockSpec((ti, tj), lambda i, j, f: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xi.shape[0], n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_pad * n_pad * p_pad, bytes_accessed=0,
+            flops=4 * xi.shape[0] * n_pad * p_pad, bytes_accessed=0,
             transcendentals=0),
-    )(xp, xp, recip, disc)
+    )(xi, xp, recip, disc)
 
 
-def pallas_accumulate(xp, W, recip, disc, ti, tj, ft):
-    """Pass 2: per-feature scores (p_pad,) from pairwise weights W."""
+def pallas_accumulate(xp, W, recip, disc, ti, tj, ft, xi=None):
+    """Pass 2: per-feature scores (p_pad,) from pairwise weights W.
+
+    ``xi`` selects a rectangular focal block; W is (xi_rows, n_pad).
+    """
     n_pad, p_pad = xp.shape
+    if xi is None:
+        xi = xp
     nf = p_pad // ft
-    grid = (nf, n_pad // ti, n_pad // tj)
+    grid = (nf, xi.shape[0] // ti, n_pad // tj)
     out = pl.pallas_call(
         _accum_kernel,
         grid=grid,
@@ -156,9 +167,9 @@ def pallas_accumulate(xp, W, recip, disc, ti, tj, ft):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nf * _SB, ft), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=6 * n_pad * n_pad * p_pad, bytes_accessed=0,
+            flops=6 * xi.shape[0] * n_pad * p_pad, bytes_accessed=0,
             transcendentals=0),
-    )(xp, xp, W, recip, disc)
+    )(xi, xp, W, recip, disc)
     return out.reshape(nf, _SB, ft)[:, 0, :].reshape(p_pad)
 
 
@@ -173,6 +184,46 @@ def _pallas_engine(xp, yv, valid, recip2, disc2, n_real, class_probs,
         D, yv, valid, iid, yv, valid, n_real, class_probs,
         algo=algo, use_star=use_star, k=k))
     return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft)
+
+
+@partial(jax.jit,
+         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft", "nb"))
+def _pallas_engine_blocked(xp, yv, valid, recip2, disc2, n_real,
+                           class_probs,
+                           *, algo, use_star, k, ti, tj, ft, nb):
+    """Large-n path: focal super-blocks of nb rows stream against all
+    samples, so only (nb, n_pad) distance/weight blocks materialise —
+    HBM stays bounded while both passes keep the fused kernels."""
+    n_pad, p_pad = xp.shape
+
+    def per_block(b):
+        xi = jax.lax.dynamic_slice(xp, (b * nb, 0), (nb, p_pad))
+        D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft, xi=xi)
+        iid = b * nb + jnp.arange(nb, dtype=jnp.int32)
+        yi = jax.lax.dynamic_slice(yv, (b * nb,), (nb,))
+        vi = jax.lax.dynamic_slice(valid, (b * nb,), (nb,))
+        W = _sum_rules(pair_weight_rules(
+            D, yi, vi, iid, yv, valid, n_real, class_probs,
+            algo=algo, use_star=use_star, k=k))
+        return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft, xi=xi)
+
+    parts = jax.lax.map(per_block, jnp.arange(n_pad // nb))
+    return parts.sum(axis=0)
+
+
+def _focal_block_rows(n_pad: int, ti: int,
+                      budget_bytes: int = 3 << 30) -> int:
+    """Largest divisor of n_pad (in ti-row units) whose (nb, n_pad) f32
+    D+W blocks fit the budget."""
+    if n_pad * n_pad * 8 <= budget_bytes or n_pad <= ti:
+        return n_pad
+    m = n_pad // ti
+    cap = max(1, budget_bytes // (8 * n_pad * ti))
+    best = 1
+    for d in range(1, m + 1):
+        if m % d == 0 and d <= cap:
+            best = d
+    return best * ti
 
 
 def relief_pallas_scores(
@@ -235,13 +286,21 @@ def relief_pallas_scores(
                     ti=ti, tj=tj, ft=ft)
         else:
             from ..utils.logging import phase
+            nb = _focal_block_rows(n_pad, max(ti, tj))
             with phase(f"relief_pallas.engine[{algo}]",
                        work=float(n) * n * p):
-                scores = _pallas_engine(
-                    xp, yv, valid, recip2, disc2, np.float32(n),
-                    np.asarray(class_probs, np.float32),
-                    algo=algo, use_star=use_star, k=int(n_neighbors),
-                    ti=ti, tj=tj, ft=ft)
+                if nb == n_pad:
+                    scores = _pallas_engine(
+                        xp, yv, valid, recip2, disc2, np.float32(n),
+                        np.asarray(class_probs, np.float32),
+                        algo=algo, use_star=use_star, k=int(n_neighbors),
+                        ti=ti, tj=tj, ft=ft)
+                else:
+                    scores = _pallas_engine_blocked(
+                        xp, yv, valid, recip2, disc2, np.float32(n),
+                        np.asarray(class_probs, np.float32),
+                        algo=algo, use_star=use_star, k=int(n_neighbors),
+                        ti=ti, tj=tj, ft=ft, nb=nb)
                 scores = np.asarray(scores, np.float32)
         scores = np.asarray(scores, np.float32)
     return scores[:p] / np.float32(n)
