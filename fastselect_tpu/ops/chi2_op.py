@@ -49,8 +49,11 @@ def chi2_stats(x: np.ndarray, y_mapped: np.ndarray, n_classes: int,
     from ..utils.backend import execution_context
 
     with execution_context(device):
+        xs = np.asarray(x, dtype=np.float32)
+        if device is not None and device.platform != "cpu":
+            xs = jax.device_put(xs)  # uncommitted: the one fast H2D path
         stats = _chi2_device(
-            jnp.asarray(x, dtype=jnp.float32),
+            xs,
             jnp.asarray(y_mapped, dtype=jnp.int32),
             n_classes=n_classes,
         )

@@ -95,3 +95,41 @@ def feature_sharded_relief_discrete_scores(
                   algo=algo, use_star=use_star, k=int(n_neighbors),
                   ft=ft, s=int(n_states))
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
+
+
+def sharded_chi2_stats(x: np.ndarray, y_mapped: np.ndarray,
+                       n_classes: int, *, devices=None,
+                       mesh: Mesh | None = None) -> np.ndarray:
+    """chi2 statistics with the feature axis sharded over the mesh.
+
+    Features are fully independent for chi2 (SURVEY.md §2.3: feature-
+    shard parallelism for chi2/MI); no collective is needed — each chip
+    builds its observed sub-matrix with one matmul and the output comes
+    back feature-sharded.
+    """
+    from ..ops.chi2_op import _chi2_device
+
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    n, p = x.shape
+    pb = _round_up(-(-p // ndev), 128)
+    p_pad = pb * ndev
+    xp = np.zeros((n, p_pad), np.float32)
+    xp[:, :p] = x
+    y32 = np.asarray(y_mapped, np.int32)
+
+    @partial(jax.jit, static_argnames=("nc",))
+    def _run(xa, ya, *, nc):
+        return shard_map(
+            lambda xs, ys: _chi2_device(xs, ys, n_classes=nc),
+            mesh=mesh,
+            in_specs=(P(None, axis), P()),
+            out_specs=P(axis),
+            check_vma=False,
+        )(xa, ya)
+
+    stats = _run(jnp.asarray(xp), jnp.asarray(y32), nc=int(n_classes))
+    return np.asarray(stats, np.float64)[:p]

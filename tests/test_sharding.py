@@ -125,6 +125,18 @@ def test_feature_sharded_matches_single_chip(rng):
                         err_msg=f"ndev={ndev}")
 
 
+def test_sharded_chi2_matches_single_chip(rng):
+    from fastselect_tpu.parallel import sharded_chi2_stats
+    from fastselect_tpu.ops.chi2_op import chi2_stats
+
+    n, p = 80, 37
+    X = rng.randint(0, 6, (n, p)).astype(np.float64)
+    y = rng.randint(0, 3, n)
+    single = chi2_stats(X, y, 3)
+    sharded = sharded_chi2_stats(X, y, 3)
+    assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
+
+
 def test_sharded_mdr_matches_single_chip(rng):
     from fastselect_tpu.parallel import sharded_batch_balanced_accuracy
     from fastselect_tpu.ops.mdr_op import batch_balanced_accuracy
