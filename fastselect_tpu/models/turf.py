@@ -148,7 +148,10 @@ class TuRF(TransformerMixin, BaseEstimator):
             return None
         limit = getattr(base, "discrete_limit", 10)
         from ..utils.preprocessing import detect_discrete_features
-        if not detect_discrete_features(X, limit).all():
+        is_disc = detect_discrete_features(X, limit)
+        if not is_disc.all():
+            if not is_disc.any() and X.shape[0] <= 131072:
+                return self._make_fast_continuous_scorer(base, X, y)
             return None
 
         algo = base._algo_name.lower()
@@ -191,6 +194,50 @@ class TuRF(TransformerMixin, BaseEstimator):
             scores = relief_discrete_scores(
                 None, y32, algo=algo, codes=masked, n_states=n_states,
                 device=device, **kwargs)
+            return scores[active]
+
+        return scorer
+
+    def _make_fast_continuous_scorer(self, base, X, y):
+        """Pure-continuous twin of the discrete fast path: per-feature
+        range reciprocals are independent of which other columns are
+        active, so a dropped feature is masked by zeroing its reciprocal
+        (its scaled-L1 diffs become exactly 0 — identical to slicing it
+        out) while X stays HBM-resident across iterations."""
+        import jax
+        import numpy as np
+        from ..ops.relief_pallas import relief_pallas_scores
+        from ..utils.backend import default_device, execution_context
+        from ..utils.preprocessing import compute_recip_ranges
+
+        algo = base._algo_name.lower()
+        kwargs = {}
+        if algo == "relieff":
+            classes, y_enc = np.unique(y, return_inverse=True)
+            if len(classes) < 2:
+                return None
+            kwargs["n_neighbors"] = base.n_neighbors
+            kwargs["class_probs"] = (
+                np.bincount(y_enc) / len(y)).astype(np.float32)
+        else:
+            _, y_enc = np.unique(y, return_inverse=True)
+            kwargs["use_star"] = getattr(base, "use_star", False)
+
+        device = default_device("tpu")
+        X32 = np.asarray(X, np.float32)
+        recip = compute_recip_ranges(X32)
+        with execution_context(device):
+            Xd = jax.device_put(X32)
+        p = X.shape[1]
+        disc = np.zeros((p,), bool)
+        y32 = y_enc.astype(np.int32)
+
+        def scorer(active):
+            recip_m = np.zeros((p,), np.float32)
+            recip_m[active] = recip[active]
+            scores = relief_pallas_scores(
+                Xd, y32, recip_m, disc, algo=algo, device=device,
+                **kwargs)
             return scores[active]
 
         return scorer

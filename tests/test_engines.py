@@ -140,6 +140,26 @@ def test_turf_fast_path_matches_generic_loop(rng):
                     rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="continuous TuRF fast path needs a TPU")
+def test_turf_continuous_fast_path_matches_generic_loop(rng):
+    from fastselect_tpu import TuRF, MultiSURF
+
+    n, p = 220, 48
+    X = rng.rand(n, p)
+    y = rng.randint(0, 2, n)
+    X[:, 7] += y * 0.8
+
+    fast = TuRF(MultiSURF(), n_features_to_select=6, pct_remove=0.3)
+    fast.fit(X, y)
+    slow = TuRF(MultiSURF(backend="cpu"), n_features_to_select=6,
+                pct_remove=0.3)
+    slow.fit(X, y)
+    assert_array_equal(fast.top_features_, slow.top_features_)
+    assert_allclose(fast.feature_importances_, slow.feature_importances_,
+                    rtol=1e-4, atol=1e-5)
+
+
 def test_all_discrete_estimator_routes_to_mxu_engine(rng):
     """End-to-end: an all-discrete fit goes through the discrete engine
     and still matches the semantic oracle ranking."""
