@@ -242,6 +242,13 @@ def pack_discrete(codes: np.ndarray, y: np.ndarray, n_states: int = 2,
     # in place on device).  The pad runs under jit — eager jnp ops are
     # pathologically slow on some installs.
     if isinstance(codes, jax.Array):
+        if n_pad == n and p_pad == p:
+            # identity pad would still copy the (possibly 10+ GB) code
+            # matrix on device — skip it entirely
+            yv = np.full((n_pad,), -1, np.int32)
+            yv[:n] = y
+            valid = np.ones((n_pad,), np.float32)
+            return codes, yv, valid, (ti, ft)
         cpad, yv, valid = _pad_device(codes, jnp.asarray(y, jnp.int32),
                                       n_pad=n_pad, p_pad=p_pad)
     else:
@@ -272,11 +279,16 @@ def relief_discrete_scores(
     device=None,
     codes: np.ndarray | None = None,
     n_states: int | None = None,
+    ti: int | None = None,
+    ft: int | None = None,
 ) -> np.ndarray:
     """Relief-family scores for all-discrete X (already / n_samples).
 
     ``codes``/``n_states`` can be passed directly (e.g. int8 genotype
     matrices that are already 0..S-1) to skip the encoding pass.
+    ``ti``/``ft`` override the focal-block and feature-tile sizes (pick
+    shapes (n, p) that are exact multiples to avoid any padding copy of
+    a HBM-resident code matrix).
     """
     from ..utils.backend import execution_context
     from ..utils.logging import phase
@@ -297,7 +309,7 @@ def relief_discrete_scores(
             # jnp.asarray > 1000x slower, jit-argument transfer ~30x.
             codes = jax.device_put(np.asarray(codes, np.int8))
         cpad, yv, valid, (ti, ft) = pack_discrete(
-            codes, np.asarray(y, np.int32), int(n_states))
+            codes, np.asarray(y, np.int32), int(n_states), ti=ti, ft=ft)
         if class_probs is None:
             class_probs = np.zeros((1,), np.float32)
         with phase(f"relief_discrete.engine[{algo}]",

@@ -1,6 +1,6 @@
 import numpy as np
 import pytest
-from numpy.testing import assert_allclose
+from numpy.testing import assert_allclose, assert_array_equal
 from sklearn.exceptions import NotFittedError
 
 from fastselect_tpu import SURF
@@ -68,3 +68,44 @@ def test_transform_selects_columns(rng):
     Xt = m.transform(X)
     assert Xt.shape == (25, 4)
     assert_allclose(Xt, X[:, m.top_features_])
+
+
+def test_discrete_limit_parameter():
+    """discrete_limit thresholding (reference test_surf.py pattern):
+    feature 0 has 11 unique values, feature 1 has 3."""
+    X = np.array([[i, i % 3] for i in range(11)] * 2, dtype=np.float32)
+    y = np.array([0] * 11 + [1] * 11)
+    m = SURF(discrete_limit=10, backend="cpu").fit(X, y)
+    assert_array_equal(m.is_discrete_, [False, True])
+    m = SURF(discrete_limit=12, backend="cpu").fit(X, y)
+    assert_array_equal(m.is_discrete_, [True, True])
+
+
+def test_single_class_scores_nonpositive(rng):
+    """Single-class input: no misses to learn from, so every score is a
+    nonpositive intra-class-variation penalty (reference behaviour)."""
+    X = rng.rand(30, 8).astype(np.float32)
+    m = SURF(backend="cpu").fit(X, np.zeros(30))
+    assert np.all(m.feature_importances_ <= 1e-7)
+
+
+def test_nan_input_raises(rng):
+    X = rng.rand(20, 5)
+    X[3, 2] = np.nan
+    with pytest.raises(ValueError):
+        SURF(backend="cpu").fit(X, rng.randint(0, 2, 20))
+
+
+@pytest.mark.parametrize("bad", [0, -3, 1.5, "five"])
+def test_invalid_n_features_to_select_raises(bad, rng):
+    X = rng.rand(25, 6)
+    y = rng.randint(0, 2, 25)
+    with pytest.raises((ValueError, TypeError)):
+        SURF(n_features_to_select=bad, backend="cpu").fit(X, y)
+
+
+def test_fit_transform_output_shape(rng):
+    X = rng.rand(30, 10)
+    y = rng.randint(0, 2, 30)
+    out = SURF(n_features_to_select=4, backend="cpu").fit_transform(X, y)
+    assert out.shape == (30, 4)
