@@ -208,6 +208,26 @@ def _relief_discrete_engine(codes, yv, valid, n_real, class_probs,
         algo=algo, use_star=use_star, k=k, ti=ti, ft=ft, n_states=n_states)
 
 
+@partial(jax.jit,
+         static_argnames=("algo", "use_star", "k", "ti", "ft", "n_states"))
+def _relief_discrete_block(codes, yv, valid, b, n_real, class_probs,
+                           *, algo, use_star, k, ti, ft, n_states):
+    """One focal block's score partials — the host-streamed variant.
+
+    At GWAS scale a monolithic fit is one multi-minute device dispatch;
+    streaming one block per dispatch bounds kernel runtime (some
+    runtimes kill very long dispatches) and measured slightly FASTER at
+    ~100k samples (better scheduling of the per-block kernels)."""
+    ci = jax.lax.dynamic_slice(codes, (b * ti, 0),
+                               (ti, codes.shape[1]))
+    yi = jax.lax.dynamic_slice(yv, (b * ti,), (ti,))
+    vi = jax.lax.dynamic_slice(valid, (b * ti,), (ti,))
+    return relief_discrete_core(
+        ci, yi, vi, b * ti, codes, yv, valid, n_real, class_probs,
+        algo=algo, use_star=use_star, k=k, ti=ti, ft=ft,
+        n_states=n_states)
+
+
 def _discrete_tile_sizes(n: int, p: int, n_states: int):
     """(TI focal block, FT feature tile).
 
@@ -312,12 +332,22 @@ def relief_discrete_scores(
             codes, np.asarray(y, np.int32), int(n_states), ti=ti, ft=ft)
         if class_probs is None:
             class_probs = np.zeros((1,), np.float32)
+        kw = dict(algo=algo, use_star=use_star, k=int(n_neighbors),
+                  ti=ti, ft=ft, n_states=int(n_states))
+        cp = np.asarray(class_probs, np.float32)
+        n_blocks = cpad.shape[0] // ti
         with phase(f"relief_discrete.engine[{algo}]",
                    work=float(n) * n * p):
-            scores = _relief_discrete_engine(
-                cpad, yv, valid, np.float32(n),
-                np.asarray(class_probs, np.float32),
-                algo=algo, use_star=use_star, k=int(n_neighbors),
-                ti=ti, ft=ft, n_states=int(n_states))
-            scores = np.asarray(scores, np.float32)
+            if n_blocks >= 16:
+                # stream one focal block per dispatch (see
+                # _relief_discrete_block)
+                scores = np.zeros((cpad.shape[1],), np.float32)
+                for b in range(n_blocks):
+                    scores += np.asarray(_relief_discrete_block(
+                        cpad, yv, valid, jnp.int32(b), np.float32(n),
+                        cp, **kw), np.float32)
+            else:
+                scores = np.asarray(_relief_discrete_engine(
+                    cpad, yv, valid, np.float32(n), cp, **kw),
+                    np.float32)
     return scores[:p] / np.float32(n)

@@ -52,6 +52,19 @@ def test_encode_discrete_ranks_and_chunking(rng):
     assert_array_equal(codes[:, 1], [1, 0, 1, 0])
 
 
+def test_discrete_engine_streamed_blocks_match(rng):
+    """Host-streamed per-block dispatch (>=16 focal blocks) must match
+    the monolithic engine."""
+    n, p = 160, 23
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    mono = relief_discrete_scores(None, y, algo="multisurf",
+                                  codes=codes, n_states=3)
+    streamed = relief_discrete_scores(None, y, algo="multisurf",
+                                      codes=codes, n_states=3, ti=8)
+    assert_allclose(streamed, mono, atol=1e-6)
+
+
 def test_discrete_engine_precomputed_codes(rng):
     n, p = 48, 23
     codes = rng.randint(0, 3, (n, p)).astype(np.int8)
