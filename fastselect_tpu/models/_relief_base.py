@@ -52,7 +52,9 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         Parameters
         ----------
         X : array-like of shape (n_samples, n_features)
-            Training samples. NaN values are rejected.
+            Training samples. NaN values are rejected.  A ``jax.Array``
+            already resident on an accelerator is accepted and never
+            round-trips to the host (the HBM-resident fit path).
         y : array-like of shape (n_samples,)
             Numeric class labels.
 
@@ -60,6 +62,8 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         -------
         self : object
         """
+        if self._is_device_array(X):
+            return self._fit_device(X, y)
         X, y = validate_data(
             self, X, y, y_numeric=True, dtype=self._validate_dtype,
             ensure_2d=True,
@@ -81,6 +85,52 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
 
     def _score(self, X, y, analysis, n_select):  # pragma: no cover
         raise NotImplementedError
+
+    @staticmethod
+    def _is_device_array(X) -> bool:
+        try:
+            import jax
+            return (isinstance(X, jax.Array)
+                    and all(d.platform != "cpu" for d in X.devices()))
+        except Exception:  # pragma: no cover
+            return False
+
+    def _fit_device(self, X, y):
+        """HBM-resident fit: X stays on device end to end.
+
+        All-discrete data scores straight from on-device state codes;
+        pure-continuous data flows into the Pallas engine as a device
+        array.  Mixed data falls back to one host round-trip (the hybrid
+        engine splits columns host-side).
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..utils.preprocessing import analyze_features_device_array
+
+        if X.ndim != 2:
+            raise ValueError("X must be 2-D")
+        y = np.asarray(y)
+        if y.shape[0] != X.shape[0]:
+            raise ValueError(
+                "X and y have inconsistent numbers of samples")
+        if bool(jax.jit(lambda a: jnp.isnan(
+                a.astype(jnp.float32)).any())(X)):
+            raise ValueError("Input X contains NaN.")
+        self.n_features_in_ = X.shape[1]
+        n_select = self._validate_parameters(X.shape[0],
+                                             self.n_features_in_)
+
+        analysis = analyze_features_device_array(X, self.discrete_limit)
+        self.is_discrete_ = analysis.is_discrete
+        if analysis.is_discrete.any() and not analysis.is_discrete.all():
+            X = np.asarray(X)  # mixed: hybrid splits columns host-side
+
+        scores = self._score(X, y, analysis, n_select)
+        if scores is None:
+            return self
+        self.feature_importances_ = scores
+        self.top_features_ = np.argsort(scores)[::-1][:n_select]
+        return self
 
     def _analyze(self, X) -> FeatureAnalysis:
         """Per-feature discreteness / ranges / state codes.

@@ -103,7 +103,7 @@ class ReliefF(BaseReliefSelector):
         class_probs = (np.bincount(y_enc) / len(y)).astype(np.float32)
         self._log_running()
         return relief_scores(
-            X.astype(np.float32), y_enc.astype(np.int32), analysis.recip,
+            X, y_enc.astype(np.int32), analysis.recip,
             analysis.is_discrete,
             algo="relieff", n_neighbors=self.n_neighbors,
             class_probs=class_probs, device=self._device(),

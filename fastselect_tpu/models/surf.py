@@ -65,7 +65,7 @@ class SURF(BaseReliefSelector):
         _, y_enc = np.unique(y, return_inverse=True)
         self._log_running("SURF*" if self.use_star else "SURF")
         scores = relief_scores(
-            X.astype(np.float32), y_enc.astype(np.int32), analysis.recip,
+            X, y_enc.astype(np.int32), analysis.recip,
             analysis.is_discrete,
             algo="surf", use_star=self.use_star,
             device=self._device(),

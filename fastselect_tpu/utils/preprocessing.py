@@ -121,3 +121,64 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     rng[rng == 0] = 1.0
     return FeatureAnalysis(is_disc, (1.0 / rng).astype(np.float32),
                            codes, n_states)
+
+
+def analyze_features_device_array(x, discrete_limit: int,
+                                  f_chunk: int = 8192) -> FeatureAnalysis:
+    """`analyze_features_device` for an X that is ALREADY a device array
+    (the HBM-resident fit path): chunks are sliced, sorted, and encoded
+    under jit, and the code matrix is assembled in place on device with
+    buffer donation — X never round-trips to the host.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    n, p = x.shape
+    s = max(int(discrete_limit), 2)
+
+    @partial(jax.jit, static_argnames=("fc", "s"), donate_argnums=(0,))
+    def analyze_chunk(codes_buf, xa, f0, *, fc, s):
+        xc = jax.lax.dynamic_slice(
+            xa, (0, f0), (xa.shape[0], fc)).astype(jnp.float32)
+        xs = jnp.sort(xc, axis=0)
+        newv = jnp.concatenate(
+            [jnp.ones((1, fc), bool), xs[1:] != xs[:-1]], axis=0)
+        n_unique = newv.sum(axis=0)
+        rng = xs[-1] - xs[0]
+        rank = jnp.cumsum(newv, axis=0) - 1
+        out = jnp.zeros(xc.shape, jnp.int8)
+        for c in range(s - 1):
+            vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
+            vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
+            out = out + (xc > vc[None, :]).astype(jnp.int8)
+        codes_buf = jax.lax.dynamic_update_slice(codes_buf, out, (0, f0))
+        return codes_buf, n_unique, rng
+
+    # pad the feature axis so every chunk shares one compiled program
+    fc = min(f_chunk, _round_up_int(p, 128))
+    p_pad = _round_up_int(p, fc)
+    n_uni = np.empty(p_pad, np.int64)
+    rng_all = np.empty(p_pad, np.float32)
+    codes = jnp.zeros((n, p_pad), jnp.int8)
+    if p_pad > p:
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, p_pad - p)))
+    else:
+        xp = x
+    for f0 in range(0, p_pad, fc):
+        codes, nu, rg = analyze_chunk(codes, xp, jnp.int32(f0), fc=fc, s=s)
+        n_uni[f0:f0 + fc] = np.asarray(nu)
+        rng_all[f0:f0 + fc] = np.asarray(rg)
+    is_disc = (n_uni <= discrete_limit)[:p]
+    rng_all = rng_all[:p]
+    n_states = int(n_uni[:p][is_disc].max(initial=2))
+    # NOTE: codes keeps its trailing zero-state pad columns — the
+    # discrete engine treats all-state-0 columns exactly like padding
+    # (score 0), and callers slice scores back to the true p.
+    rng_all[rng_all == 0] = 1.0
+    return FeatureAnalysis(is_disc, (1.0 / rng_all).astype(np.float32),
+                           codes, n_states)
+
+
+def _round_up_int(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m

@@ -173,6 +173,41 @@ def test_turf_continuous_fast_path_matches_generic_loop(rng):
                     rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="HBM-resident fit path needs a TPU")
+def test_device_array_fit_matches_host_fit(rng):
+    """fit(X) with X already a device array must give the same model as
+    the host-array path (and never round-trip X for pure cases)."""
+    import jax
+    from fastselect_tpu import MultiSURF, ReliefF
+
+    # all-discrete
+    Xd_host = rng.randint(0, 3, (200, 64)).astype(np.int8)
+    y = rng.randint(0, 2, 200)
+    Xd = jax.device_put(Xd_host)
+    a = MultiSURF(n_features_to_select=5).fit(Xd, y)
+    b = MultiSURF(n_features_to_select=5).fit(
+        Xd_host.astype(np.float64), y)
+    assert_allclose(a.feature_importances_, b.feature_importances_,
+                    rtol=1e-4, atol=1e-6)
+    assert_array_equal(a.top_features_, b.top_features_)
+
+    # pure continuous
+    Xc_host = rng.rand(300, 48).astype(np.float32)
+    y2 = rng.randint(0, 2, 300)
+    Xc = jax.device_put(Xc_host)
+    a = ReliefF(n_features_to_select=5, n_neighbors=5).fit(Xc, y2)
+    b = ReliefF(n_features_to_select=5, n_neighbors=5).fit(Xc_host, y2)
+    assert_allclose(a.feature_importances_, b.feature_importances_,
+                    rtol=1e-4, atol=1e-6)
+
+    # NaN rejection on device
+    Xn = Xc_host.copy()
+    Xn[5, 7] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        MultiSURF().fit(jax.device_put(Xn), y2)
+
+
 def test_all_discrete_estimator_routes_to_mxu_engine(rng):
     """End-to-end: an all-discrete fit goes through the discrete engine
     and still matches the semantic oracle ranking."""
