@@ -147,10 +147,12 @@ def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
     Xp[:, :p] = X_enc
     outs = []
     with execution_context(device):
-        yoh = jax.nn.one_hot(jnp.asarray(y_enc, jnp.int32), s_y,
-                             dtype=jnp.float32)
+        yoh = jax.nn.one_hot(jax.device_put(np.asarray(y_enc, np.int32)),
+                             s_y, dtype=jnp.float32)
         for t0 in range(0, p_pad, tile):
-            xt = jnp.asarray(Xp[:, t0:t0 + tile])
+            # uncommitted device_put: eager jnp.asarray takes a
+            # catastrophically slower transfer path on some runtimes
+            xt = jax.device_put(np.ascontiguousarray(Xp[:, t0:t0 + tile]))
             outs.append(np.asarray(_target_tables_tile(xt, yoh, s_x=s_x,
                                                        s_y=s_y)))
     return np.concatenate(outs, axis=0)[:p]
@@ -176,8 +178,9 @@ def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
     out = np.zeros((p_pad, p_pad), np.float64)
     with execution_context(device):
         n_real = jnp.float32(n)
-        tiles = [jnp.asarray(Xp[:, t * tile:(t + 1) * tile])
-                 for t in range(nt)]
+        tiles = [jax.device_put(
+            np.ascontiguousarray(Xp[:, t * tile:(t + 1) * tile]))
+            for t in range(nt)]
         for ti in range(nt):
             j_start = ti if symmetric else 0
             for tj in range(j_start, nt):
