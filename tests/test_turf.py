@@ -95,3 +95,17 @@ def test_checkpoint_roundtrip(data):
     t2 = TuRF(MockScorer(), n_features_to_select=4).load_state(state)
     assert_array_equal(t2.top_features_, t.top_features_)
     assert t2.transform(X).shape == t.transform(X).shape
+
+
+def test_transform_before_fit_raises(data):
+    from sklearn.exceptions import NotFittedError
+    X, y = data
+    with pytest.raises(NotFittedError):
+        TuRF(MockScorer(), n_features_to_select=2).transform(X)
+
+
+def test_transform_incorrect_dimensions(data):
+    X, y = data
+    t = TuRF(MockScorer(), n_features_to_select=2).fit(X, y)
+    with pytest.raises(ValueError):
+        t.transform(X[:, :-1])
