@@ -60,7 +60,7 @@ def _onehot_flat(codes_t, n_states):
     return jnp.concatenate(parts, axis=1)
 
 
-def encode_discrete(x: np.ndarray, f_chunk: int = 8192):
+def encode_discrete(x: np.ndarray, f_chunk: int | None = None):
     """Per-column small-int state codes for discrete data.
 
     Replaces the reference's per-column ``np.unique`` encoding loop
@@ -72,38 +72,24 @@ def encode_discrete(x: np.ndarray, f_chunk: int = 8192):
 
     Returns ``(codes (n, p) int8 np.ndarray, n_states)``.
     """
+    from ..utils.preprocessing import _jitted_helpers, _auto_f_chunk
+
+    stats, encode = _jitted_helpers()
     n, p = x.shape
+    if f_chunk is None:
+        f_chunk = _auto_f_chunk(n)
     codes = np.empty((n, p), np.int8)
-
-    @jax.jit
-    def probe(xc):
-        xs = jnp.sort(xc, axis=0)
-        newv = jnp.concatenate(
-            [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
-        return xs, newv.sum(axis=0).max()
-
-    @partial(jax.jit, static_argnames=("s",))
-    def encode(xc, xs, *, s):
-        newv = jnp.concatenate(
-            [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
-        rank = jnp.cumsum(newv, axis=0) - 1
-        out = jnp.zeros(xc.shape, jnp.int8)
-        for c in range(s - 1):
-            # c-th distinct column value (+inf when the column has fewer
-            # than c+1 distinct values -> never counted)
-            vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
-            vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
-            out = out + (xc > vc[None, :]).astype(jnp.int8)
-        return out
 
     # One device pass per chunk: per-chunk static state count gives
     # identical codes (ranks are per-column); n_states = global max.
     n_states = 1
     for f0 in range(0, p, f_chunk):
-        xc = jnp.asarray(np.asarray(x[:, f0:f0 + f_chunk], np.float32))
-        xs, s_chunk = probe(xc)
-        s_chunk = int(s_chunk)
-        codes[:, f0:f0 + f_chunk] = np.asarray(encode(xc, xs, s=s_chunk))
+        xc = jax.device_put(np.ascontiguousarray(
+            x[:, f0:f0 + f_chunk], dtype=np.float32))
+        xs, newv, n_unique, _rg = stats(xc)
+        s_chunk = int(np.asarray(n_unique).max(initial=1))
+        codes[:, f0:f0 + f_chunk] = np.asarray(
+            encode(xc, xs, newv, s=max(s_chunk, 1)))
         n_states = max(n_states, s_chunk)
     return codes, n_states
 

@@ -65,8 +65,55 @@ class FeatureAnalysis:
     n_states: int = 0                # max cardinality over discrete cols
 
 
+# Module-level jitted helpers: defining these inside the analyze
+# functions would create a fresh closure per call and RECOMPILE every
+# fit (~25 s through this runtime's AOT compiler).
+
+
+def _chunk_stats_fn(xc):
+    import jax.numpy as jnp
+    xs = jnp.sort(xc, axis=0)
+    newv = jnp.concatenate(
+        [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
+    n_unique = newv.sum(axis=0)
+    return xs, newv, n_unique, xs[-1] - xs[0]
+
+
+def _chunk_encode_fn(xc, xs, newv, *, s):
+    import jax.numpy as jnp
+    rank = jnp.cumsum(newv, axis=0) - 1
+    out = jnp.zeros(xc.shape, jnp.int8)
+    for c in range(s - 1):
+        vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
+        vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
+        out = out + (xc > vc[None, :]).astype(jnp.int8)
+    return out
+
+
+_chunk_stats = None
+_chunk_encode = None
+
+
+def _jitted_helpers():
+    global _chunk_stats, _chunk_encode
+    if _chunk_stats is None:
+        import jax
+        from functools import partial
+        _chunk_stats = jax.jit(_chunk_stats_fn)
+        _chunk_encode = jax.jit(_chunk_encode_fn, static_argnames=("s",))
+    return _chunk_stats, _chunk_encode
+
+
+def _auto_f_chunk(n: int) -> int:
+    """Feature-chunk width targeting ~256 MB f32 per chunk: small-n
+    (GWAS p >> n) workloads get very wide chunks so the per-dispatch
+    round-trip cost amortises."""
+    budget = (256 << 20) // 4
+    return int(min(1 << 19, max(8192, budget // max(n, 1) // 8192 * 8192)))
+
+
 def analyze_features_device(x: np.ndarray, discrete_limit: int,
-                            f_chunk: int = 8192) -> FeatureAnalysis:
+                            f_chunk: int | None = None) -> FeatureAnalysis:
     """One device sweep computing discreteness, ranges, AND discrete state
     codes per feature chunk.
 
@@ -78,35 +125,19 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     engines never read.
     """
     import jax
-    import jax.numpy as jnp
-    from functools import partial
 
+    stats, encode = _jitted_helpers()
     n, p = x.shape
+    if f_chunk is None:
+        f_chunk = _auto_f_chunk(n)
     codes = np.empty((n, p), np.int8)
     is_disc = np.empty(p, bool)
     rng = np.empty(p, np.float32)
 
-    @jax.jit
-    def stats(xc):
-        xs = jnp.sort(xc, axis=0)
-        newv = jnp.concatenate(
-            [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
-        n_unique = newv.sum(axis=0)
-        return xs, newv, n_unique, xs[-1] - xs[0]
-
-    @partial(jax.jit, static_argnames=("s",))
-    def encode(xc, xs, newv, *, s):
-        rank = jnp.cumsum(newv, axis=0) - 1
-        out = jnp.zeros(xc.shape, jnp.int8)
-        for c in range(s - 1):
-            vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
-            vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
-            out = out + (xc > vc[None, :]).astype(jnp.int8)
-        return out
-
     n_states = 1
     for f0 in range(0, p, f_chunk):
-        xc = jnp.asarray(np.asarray(x[:, f0:f0 + f_chunk], np.float32))
+        xc = jax.device_put(np.ascontiguousarray(
+            x[:, f0:f0 + f_chunk], dtype=np.float32))
         xs, newv, n_unique, rg = stats(xc)
         nu = np.asarray(n_unique)
         d = nu <= discrete_limit
@@ -132,28 +163,10 @@ def analyze_features_device_array(x, discrete_limit: int,
     """
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     n, p = x.shape
     s = max(int(discrete_limit), 2)
-
-    @partial(jax.jit, static_argnames=("fc", "s"), donate_argnums=(0,))
-    def analyze_chunk(codes_buf, xa, f0, *, fc, s):
-        xc = jax.lax.dynamic_slice(
-            xa, (0, f0), (xa.shape[0], fc)).astype(jnp.float32)
-        xs = jnp.sort(xc, axis=0)
-        newv = jnp.concatenate(
-            [jnp.ones((1, fc), bool), xs[1:] != xs[:-1]], axis=0)
-        n_unique = newv.sum(axis=0)
-        rng = xs[-1] - xs[0]
-        rank = jnp.cumsum(newv, axis=0) - 1
-        out = jnp.zeros(xc.shape, jnp.int8)
-        for c in range(s - 1):
-            vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
-            vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
-            out = out + (xc > vc[None, :]).astype(jnp.int8)
-        codes_buf = jax.lax.dynamic_update_slice(codes_buf, out, (0, f0))
-        return codes_buf, n_unique, rng
+    analyze_chunk = _jitted_analyze_chunk()
 
     # pad the feature axis so every chunk shares one compiled program
     fc = min(f_chunk, _round_up_int(p, 128))
@@ -182,3 +195,36 @@ def analyze_features_device_array(x, discrete_limit: int,
 
 def _round_up_int(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
+
+
+def _analyze_chunk_fn(codes_buf, xa, f0, *, fc, s):
+    import jax
+    import jax.numpy as jnp
+    xc = jax.lax.dynamic_slice(
+        xa, (0, f0), (xa.shape[0], fc)).astype(jnp.float32)
+    xs = jnp.sort(xc, axis=0)
+    newv = jnp.concatenate(
+        [jnp.ones((1, fc), bool), xs[1:] != xs[:-1]], axis=0)
+    n_unique = newv.sum(axis=0)
+    rng = xs[-1] - xs[0]
+    rank = jnp.cumsum(newv, axis=0) - 1
+    out = jnp.zeros(xc.shape, jnp.int8)
+    for c in range(s - 1):
+        vc = jnp.where((rank == c) & newv, xs, -jnp.inf).max(axis=0)
+        vc = jnp.where(jnp.isneginf(vc), jnp.inf, vc)
+        out = out + (xc > vc[None, :]).astype(jnp.int8)
+    codes_buf = jax.lax.dynamic_update_slice(codes_buf, out, (0, f0))
+    return codes_buf, n_unique, rng
+
+
+_analyze_chunk = None
+
+
+def _jitted_analyze_chunk():
+    global _analyze_chunk
+    if _analyze_chunk is None:
+        import jax
+        _analyze_chunk = jax.jit(_analyze_chunk_fn,
+                                 static_argnames=("fc", "s"),
+                                 donate_argnums=(0,))
+    return _analyze_chunk
