@@ -7,6 +7,8 @@ here it lives once.  Subclasses define ``_algo_name`` and ``_score``.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from sklearn.base import BaseEstimator, TransformerMixin
 from sklearn.utils.validation import check_is_fitted, validate_data
@@ -17,6 +19,15 @@ from ..utils.preprocessing import (detect_discrete_features,
                                    compute_recip_ranges,
                                    analyze_features_device,
                                    FeatureAnalysis)
+
+
+@functools.cache
+def _jitted_nan_check():
+    """Module-level jitted NaN probe so repeated device-resident fits hit
+    the jit cache (a per-call lambda would retrace every fit)."""
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda a: jnp.isnan(a.astype(jnp.float32)).any())
 
 
 class BaseReliefSelector(TransformerMixin, BaseEstimator):
@@ -103,8 +114,6 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         array.  Mixed data falls back to one host round-trip (the hybrid
         engine splits columns host-side).
         """
-        import jax
-        import jax.numpy as jnp
         from ..utils.preprocessing import analyze_features_device_array
 
         if X.ndim != 2:
@@ -113,8 +122,7 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         if y.shape[0] != X.shape[0]:
             raise ValueError(
                 "X and y have inconsistent numbers of samples")
-        if bool(jax.jit(lambda a: jnp.isnan(
-                a.astype(jnp.float32)).any())(X)):
+        if bool(_jitted_nan_check()(X)):
             raise ValueError("Input X contains NaN.")
         self.n_features_in_ = X.shape[1]
         n_select = self._validate_parameters(X.shape[0],
@@ -139,12 +147,19 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         analyzer (the reference's per-column ``np.unique`` probe is a
         host hotspot at GWAS scale, ``MultiSURF.py:416-420``); small or
         CPU-bound fits keep the cheap vectorized host probe.
+
+        Analysis dtype: TPU-bound fits analyse at float32 (the engines'
+        compute dtype; the chip has no native f64), for every input
+        size, so a dataset classifies features identically whether it
+        takes the host or the device probe.  CPU fits analyse at the
+        validated input dtype, matching the reference exactly.
         """
-        if (X.size >= 1 << 22 and self.backend in ("auto", "tpu")
-                and tpu_available()):
+        tpu_bound = self.backend in ("auto", "tpu") and tpu_available()
+        if X.size >= 1 << 22 and tpu_bound:
             return analyze_features_device(X, self.discrete_limit)
-        is_disc = detect_discrete_features(X, self.discrete_limit)
-        return FeatureAnalysis(is_disc, compute_recip_ranges(X))
+        x_an = X.astype(np.float32, copy=False) if tpu_bound else X
+        is_disc = detect_discrete_features(x_an, self.discrete_limit)
+        return FeatureAnalysis(is_disc, compute_recip_ranges(x_an))
 
     def transform(self, X):
         """Reduce X to the selected top features."""

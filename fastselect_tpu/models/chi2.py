@@ -50,10 +50,14 @@ def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
         return (np.zeros(n_features, dtype=np.float64),
                 np.ones(n_features, dtype=np.float64))
 
-    if exact:
+    effective = "cpu" if exact else resolve_backend(backend, "chi2")
+    if effective == "cpu":
+        # The CPU backend IS the f64 parity oracle: the reference's own
+        # suite pins chi2 to sklearn at rtol 1e-6 and exact 0.0 for
+        # constant features (tests/test_chi2.py:27-104), which fp32
+        # accumulation cannot guarantee.
         stats = chi2_stats_exact(X, y_mapped, n_classes)
     else:
-        effective = resolve_backend(backend, "chi2")
         stats = chi2_stats(X, y_mapped, n_classes,
                            device=default_device(effective))
 

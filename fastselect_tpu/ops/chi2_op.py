@@ -65,8 +65,11 @@ def chi2_stats_exact(x: np.ndarray, y_mapped: np.ndarray,
     """Float64 host reference path (parity oracle / tiny inputs)."""
     n_samples = x.shape[0]
     x64 = np.asarray(x, dtype=np.float64)
-    observed = np.zeros((n_classes, x.shape[1]), dtype=np.float64)
-    np.add.at(observed, y_mapped, x64)
+    observed = np.empty((n_classes, x.shape[1]), dtype=np.float64)
+    for c in range(n_classes):
+        # per-class vectorised sums: ~100x faster than np.add.at's
+        # element scatter at the reference's 2000x200000 benchmark shape
+        observed[c] = x64[y_mapped == c].sum(axis=0)
     feature_counts = observed.sum(axis=0)
     class_freqs = np.bincount(y_mapped, minlength=n_classes).astype(np.float64)
     expected = class_freqs[:, None] * feature_counts[None, :] / n_samples

@@ -289,6 +289,11 @@ def _tile_sizes(n: int, p: int) -> tuple[int, int, int]:
     t = 128 if n >= 128 else _round_up(max(n, 1), 8)
     budget = 96 * 1024 * 1024 // 4  # fp32 elements
     cj = max(t, min(4096, budget // (t * fc)))
+    # Never let the j-chunk exceed the (tile-rounded) sample count: cj
+    # feeds the lcm-based pad in pack_chunks, and an oversized cj would
+    # zero-pad a 30-sample fit out to 4096 rows (a ~16000x slowdown that
+    # made every tiny sklearn-check fit take seconds).
+    cj = min(cj, _round_up(max(n, 1), t))
     cj = _round_up(cj, t)
     return t, cj, fc
 
@@ -327,6 +332,60 @@ def pack_chunks(x: np.ndarray, y: np.ndarray, recip: np.ndarray,
             (t, cj))
 
 
+# Auto multi-chip routing: below this element count a fit stays
+# single-device (collective + per-shape compile overhead dominates).
+_AUTO_SHARD_MIN_ELEMS = 1 << 21
+# Replicating the code matrix beyond this many bytes per chip switches
+# to the ring layout (X sharded, sample blocks rotate over ICI).
+_RING_BYTES = 4 << 30
+
+
+def _mesh_devices(device):
+    """All visible devices on `device`'s platform — the mesh candidates
+    for automatic multi-chip dispatch."""
+    if device is None:
+        return []
+    import os
+    if os.environ.get("FS_NO_AUTO_SHARD") == "1":
+        return []
+    return [d for d in jax.devices() if d.platform == device.platform]
+
+
+def _sharded_dispatch(x, y, recip, is_discrete, devs, *, algo, use_star,
+                      n_neighbors, class_probs, codes, n_states):
+    """Pick a sharded layout by (n, p, memory) — SURVEY §2.3 row 1:
+    the reference's prange-over-focal-samples is automatic; so is this.
+
+    All-discrete: sample-shard (replicated codes) by default,
+    feature-shard when p >> n (GWAS layout), ring when the code matrix
+    is too big to replicate.  Mixed/continuous: sample-shard through the
+    generic engine.
+    """
+    n, p = x.shape if x is not None else codes.shape
+    if bool(np.all(is_discrete)):
+        from .relief_discrete import encode_discrete
+        if codes is None:
+            codes, n_states = encode_discrete(np.asarray(x))
+        elif not n_states:
+            n_states = int(np.max(codes)) + 1
+        kw = dict(algo=algo, use_star=use_star, n_neighbors=n_neighbors,
+                  n_states=int(n_states), class_probs=class_probs,
+                  devices=devs)
+        if n * p > _RING_BYTES:
+            from ..parallel.ring import ring_relief_discrete_scores
+            return ring_relief_discrete_scores(codes, y, **kw)
+        if p >= 4 * n and p >= 4096:
+            from ..parallel.feature_shard import (
+                feature_sharded_relief_discrete_scores)
+            return feature_sharded_relief_discrete_scores(codes, y, **kw)
+        from ..parallel.sharded import sharded_relief_discrete_scores
+        return sharded_relief_discrete_scores(codes, y, **kw)
+    from ..parallel.sharded import sharded_relief_scores
+    return sharded_relief_scores(
+        x, y, recip, is_discrete, algo=algo, use_star=use_star,
+        n_neighbors=n_neighbors, class_probs=class_probs, devices=devs)
+
+
 def relief_scores(
     x: np.ndarray,
     y: np.ndarray,
@@ -343,6 +402,17 @@ def relief_scores(
 ) -> np.ndarray:
     """Relief-family importance scores (already divided by n_samples)."""
     n, p = x.shape
+    if (n * p >= _AUTO_SHARD_MIN_ELEMS
+            and not isinstance(codes, jax.Array)
+            and not isinstance(x, jax.Array)):
+        devs = _mesh_devices(device)
+        if len(devs) > 1 and n >= 16 * len(devs):
+            # >1 accelerator visible: route through the sharded layer so
+            # MultiSURF().fit(X, y) uses every chip automatically.
+            return _sharded_dispatch(
+                x, y, recip, is_discrete, devs, algo=algo,
+                use_star=use_star, n_neighbors=n_neighbors,
+                class_probs=class_probs, codes=codes, n_states=n_states)
     if bool(np.all(is_discrete)):
         # All-discrete data: every diff is a Hamming mismatch, which
         # reformulates both O(n^2 p) passes as exact one-hot matmuls on

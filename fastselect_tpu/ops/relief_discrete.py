@@ -118,7 +118,8 @@ def _match_rows(ci, codes_a, ft, n_states):
     return acc
 
 
-def _accumulate_discrete(ci, codes_a, rules, ft, n_states):
+def _accumulate_discrete(ci, codes_a, rules, ft, n_states,
+                         exact_int=False):
     """Pass 2: per-feature score partials (p_pad,) via mask matmuls.
 
     scores_f = totalW - sum_c sum_k (A_c(i) * (M_k @ A_c) * r_k).sum(i)
@@ -126,28 +127,40 @@ def _accumulate_discrete(ci, codes_a, rules, ft, n_states):
     (TI, n_pad) x (n_pad, S*FT) matmul per mask per f-tile.  Padded
     features always match (code 0 everywhere), so their T2 equals totalW
     and their score is exactly 0 with no masking.
+
+    ``exact_int`` (SURF's unit +/-1 row coefficients): every term is an
+    integer count, so totalW and T2 accumulate in int32 — exact where
+    two large f32 sums (each ~TI*n at GWAS scale) would round before the
+    small difference is taken.  Overflow-safe while TI * n < 2^31
+    (rules partition disjoint pair sets, so |p_sum| <= n per entry).
     """
     ti = ci.shape[0]
     n_pad, p_pad = codes_a.shape
     nf = p_pad // ft
 
     masks = [m.astype(_DOT_DTYPE) for m, _ in rules]
-    coeffs = [r for _, r in rules]
+    if exact_int:
+        coeffs = [r.astype(_ACC_DTYPE) for _, r in rules]
+        acc_dtype, zero = _ACC_DTYPE, jnp.int32(0)
+    else:
+        coeffs = [r for _, r in rules]
+        acc_dtype, zero = jnp.float32, jnp.float32(0.0)
     total_w = sum(
-        (r * m.sum(axis=1).astype(jnp.float32)).sum()
+        (r * m.sum(axis=1, dtype=_ACC_DTYPE).astype(acc_dtype)).sum()
         for m, r in zip(masks, coeffs))
 
     def over_f(_, f):
         ca_t = jax.lax.dynamic_slice(codes_a, (0, f * ft), (n_pad, ft))
         ci_t = jax.lax.dynamic_slice(ci, (0, f * ft), (ti, ft))
         aa = _onehot_flat(ca_t, n_states)          # (n_pad, S*FT)
-        p_sum = jnp.zeros((ti, n_states * ft), jnp.float32)
+        p_sum = jnp.zeros((ti, n_states * ft), acc_dtype)
         for m, r in zip(masks, coeffs):
-            q = _dot(m, aa).astype(jnp.float32)    # (TI, S*FT)
+            q = _dot(m, aa).astype(acc_dtype)      # (TI, S*FT)
             p_sum = p_sum + q * r[:, None]
         ai = _onehot_flat(ci_t, n_states)
-        t2 = jnp.where(ai > 0, p_sum, 0.0).sum(axis=0)
-        return None, total_w - t2.reshape(n_states, ft).sum(axis=0)
+        t2 = jnp.where(ai > 0, p_sum, zero).sum(axis=0)
+        part = total_w - t2.reshape(n_states, ft).sum(axis=0)
+        return None, part.astype(jnp.float32)
 
     _, parts = jax.lax.scan(over_f, None, jnp.arange(nf))
     return parts.reshape(p_pad)
@@ -178,7 +191,9 @@ def relief_discrete_core(codes_f, yv_f, valid_f, row0,
         rules = pair_weight_rules(
             D, yi, vi, iid, yv_a, valid_a, n_real, class_probs,
             algo=algo, use_star=use_star, k=k)
-        return _accumulate_discrete(ci, codes_a, rules, ft, n_states)
+        # SURF's coefficients are exactly +/-1 -> exact int32 pass 2
+        return _accumulate_discrete(ci, codes_a, rules, ft, n_states,
+                                    exact_int=(algo == "surf"))
 
     partials = jax.lax.map(per_block, jnp.arange(nf_focal // ti))
     return partials.sum(axis=0)
@@ -326,12 +341,14 @@ def relief_discrete_scores(
                    work=float(n) * n * p):
             if n_blocks >= 16:
                 # stream one focal block per dispatch (see
-                # _relief_discrete_block)
-                scores = np.zeros((cpad.shape[1],), np.float32)
+                # _relief_discrete_block); cross-block partials sum in
+                # f64 on host so GWAS-scale accumulations don't round
+                scores = np.zeros((cpad.shape[1],), np.float64)
                 for b in range(n_blocks):
                     scores += np.asarray(_relief_discrete_block(
                         cpad, yv, valid, jnp.int32(b), np.float32(n),
                         cp, **kw), np.float32)
+                scores = scores.astype(np.float32)
             else:
                 scores = np.asarray(_relief_discrete_engine(
                     cpad, yv, valid, np.float32(n), cp, **kw),

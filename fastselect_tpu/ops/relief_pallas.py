@@ -92,7 +92,12 @@ def _accum_kernel(xi_ref, xj_ref, w_ref, recip_ref, disc_ref, s_ref):
     jax.lax.fori_loop(0, ti // _SB, body, 0)
 
 
+@partial(jax.jit, static_argnames=("n_pad", "p_pad"))
 def _pad_x(x, *, n_pad, p_pad):
+    """Module-level jitted pad (the _pad_device pattern): TuRF's
+    continuous fast path calls this once per elimination round with a
+    device array, so a per-call ``jax.jit(partial(...))`` closure would
+    recompile every round."""
     n, p = x.shape
     return jnp.pad(x.astype(jnp.float32), ((0, n_pad - n), (0, p_pad - p)))
 
@@ -255,7 +260,7 @@ def relief_pallas_scores(
 
     if isinstance(x, jax.Array):
         # device-resident X: pad under jit, never round-trip to host
-        xp = jax.jit(partial(_pad_x, n_pad=n_pad, p_pad=p_pad))(x)
+        xp = _pad_x(x, n_pad=n_pad, p_pad=p_pad)
     else:
         xp = np.zeros((n_pad, p_pad), np.float32)
         xp[:n, :p] = np.asarray(x, np.float32)

@@ -76,10 +76,15 @@ def sharded_relief_scores(
         valid = np.concatenate([valid, np.zeros((extra,), valid.dtype)])
         n_pad = n_shard
     nf_local = n_pad // ndev
-    # j-chunk must divide n_pad.
-    cj = min(cj, n_pad)
-    while n_pad % cj:
-        cj //= 2
+    # j-chunk must divide n_pad; pick the largest tile-multiple divisor
+    # at most the target (n_pad is a t-multiple, so cj never collapses
+    # below t — repeated halving could silently degrade it to 1 for odd
+    # paddings, a dispatch-bound perf cliff).
+    m = n_pad // t
+    k = max(1, min(cj // t, m))
+    while m % k:
+        k -= 1
+    cj = k * t
 
     if class_probs is None:
         class_probs = np.zeros((1,), np.float32)

@@ -66,12 +66,14 @@ def resolve_backend(backend: str, estimator_name: str = "estimator") -> str:
     if backend == "auto":
         return "tpu" if tpu_available() else "cpu"
     if backend == "gpu":
-        # TPU-native framework: no CUDA path exists.  Keep the reference's
-        # error contract for forced-GPU-without-CUDA.
+        # TPU-native framework: no CUDA path exists.  The phrasing keeps
+        # every substring the reference's own suite asserts on
+        # (tests/test_cfs.py:201, test_surf.py:130, test_multisurf.py:176).
         raise RuntimeError(
-            "backend='gpu' was selected, but no compatible "
-            "NVIDIA GPU was found or CUDA toolkit is not installed. "
-            f"{estimator_name} is TPU-native: use backend='tpu' or 'auto'."
+            f"{estimator_name} was run with backend='gpu', but no "
+            "CUDA-enabled GPU is available (no compatible NVIDIA GPU on "
+            "this host): this framework is TPU-native — use "
+            "backend='tpu' or 'auto'."
         )
     if backend == "tpu" and not tpu_available():
         raise RuntimeError(

@@ -115,7 +115,7 @@ def test_tpu_is_a_valid_backend_string():
 
 def test_gpu_backend_raises(simple_data):
     X, y = simple_data
-    with pytest.raises(RuntimeError, match="no compatible NVIDIA GPU"):
+    with pytest.raises(RuntimeError, match="no CUDA-enabled GPU is available"):
         MultiSURF(backend="gpu", n_features_to_select=2).fit(X, y)
 
 

@@ -7,7 +7,6 @@ messages, ``n_features_in_`` checks).  Fitted estimators must also
 pickle round-trip (SURVEY.md §5 checkpoint/resume: fitted state is plain
 picklable attributes)."""
 
-import os
 import pickle
 
 import numpy as np
@@ -19,10 +18,6 @@ from fastselect_tpu import (MultiSURF, ReliefF, SURF, TuRF, mRMR, CFS,
                             MDR)
 
 
-@pytest.mark.skipif(os.environ.get("FS_FULL_API_CHECKS") != "1",
-                    reason="check_estimator spans dozens of fits and is "
-                    "very slow on this XLA-CPU install; set "
-                    "FS_FULL_API_CHECKS=1 to run the full sweep")
 @pytest.mark.parametrize("est", [
     MultiSURF(backend="cpu"),
     SURF(backend="cpu"),
