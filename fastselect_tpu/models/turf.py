@@ -8,11 +8,19 @@ ascending by index (both reference-pinned behaviours, ``TuRF.py:87-88,
 117-119``).
 
 Wraps any estimator exposing ``feature_importances_`` after fit.  Supports
-checkpoint/resume of the elimination loop via ``save_state``/``load_state``
-(long 10k+-feature iterative runs are the long jobs; see SURVEY §5).
+checkpoint/resume of the elimination loop MID-RUN: with
+``checkpoint_path`` set, every iteration atomically persists
+(active set, scores, iteration); a killed run re-fit with the same path
+resumes from the last completed iteration instead of restarting (long
+10k+-feature iterative runs are the long jobs; see SURVEY §5).
+``save_state``/``load_state`` expose the same state dict in-memory.
 """
 
 from __future__ import annotations
+
+import os
+import pickle
+import tempfile
 
 import numpy as np
 from sklearn.base import BaseEstimator, TransformerMixin, clone
@@ -35,6 +43,13 @@ class TuRF(TransformerMixin, BaseEstimator):
         Iteration cap; None runs until the target count is reached.
     verbose : bool, default=False
         Print per-iteration feature counts.
+    checkpoint_path : str or None, default=None
+        File path for per-iteration elimination-state snapshots.  Each
+        round the loop state is written atomically; a subsequent
+        ``fit`` on data with the same feature count resumes from the
+        last completed iteration (the snapshot is deleted when the fit
+        finishes).  Restart-based recovery for pod runs — see
+        ``parallel.distributed``.
 
     Attributes
     ----------
@@ -52,12 +67,14 @@ class TuRF(TransformerMixin, BaseEstimator):
         pct_remove: float = 0.1,
         n_iterations: int | None = None,
         verbose: bool = False,
+        checkpoint_path: str | None = None,
     ):
         self.estimator = estimator
         self.n_features_to_select = n_features_to_select
         self.pct_remove = pct_remove
         self.n_iterations = n_iterations
         self.verbose = verbose
+        self.checkpoint_path = checkpoint_path
 
     def fit(self, X, y):
         """Run the iterative elimination loop."""
@@ -81,17 +98,32 @@ class TuRF(TransformerMixin, BaseEstimator):
         fast path; otherwise ``base.fit(X[:, active], y)`` re-validates
         and re-uploads every round (the reference's behaviour,
         ``TuRF.py:110-111``).
+
+        With ``checkpoint_path`` set, the loop state is snapshotted
+        after every scoring round, and a prior snapshot matching this
+        dataset's feature count resumes the loop mid-elimination.
         """
-        active = np.arange(self.n_features_in_)
-
-        if scorer is not None:
-            scores = scorer(active)
+        resumed = self._load_checkpoint()
+        if resumed is not None:
+            active = np.asarray(resumed["active"])
+            scores = np.asarray(resumed["scores"])
+            self.feature_importances_ = np.asarray(
+                resumed["feature_importances"])
+            iteration = int(resumed["iteration"])
+            if self.verbose:
+                print(f"Resuming TuRF from iteration {iteration} "
+                      f"({len(active)} features remaining).")
         else:
-            base.fit(X, y)
-            scores = np.asarray(base.feature_importances_)
-        self.feature_importances_ = scores.copy()
+            active = np.arange(self.n_features_in_)
+            if scorer is not None:
+                scores = scorer(active)
+            else:
+                base.fit(X, y)
+                scores = np.asarray(base.feature_importances_)
+            self.feature_importances_ = scores.copy()
+            iteration = 0
+            self._write_checkpoint(active, scores, iteration)
 
-        iteration = 0
         while True:
             if len(active) <= self.n_features_to_select:
                 break
@@ -116,12 +148,60 @@ class TuRF(TransformerMixin, BaseEstimator):
                 base.fit(X[:, active], y)
                 scores = np.asarray(base.feature_importances_)
             iteration += 1
+            self._write_checkpoint(active, scores, iteration)
 
         order = np.argsort(scores)[::-1]
         self.top_features_ = np.sort(active[order])
         self._final_scores_ = scores
         self._active_ = active
+        self._iteration_ = iteration
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            os.remove(self.checkpoint_path)
         return self
+
+    # -- per-iteration checkpoint plumbing ---------------------------------
+
+    def _state_dict(self, active, scores, iteration) -> dict:
+        return {
+            "active": np.asarray(active).copy(),
+            "scores": np.asarray(scores).copy(),
+            "feature_importances": np.asarray(
+                self.feature_importances_).copy(),
+            "n_features_in": int(self.n_features_in_),
+            "iteration": int(iteration),
+        }
+
+    def _write_checkpoint(self, active, scores, iteration) -> None:
+        if not self.checkpoint_path:
+            return
+        # atomic write (tmp + rename in the target dir): a kill mid-dump
+        # must never leave a truncated snapshot behind
+        d = os.path.dirname(os.path.abspath(self.checkpoint_path))
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".turf.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump(self._state_dict(active, scores, iteration), f)
+            os.replace(tmp, self.checkpoint_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
+
+    def _load_checkpoint(self):
+        """Mid-run state to resume from: an explicit ``load_state`` dict
+        takes precedence, else a ``checkpoint_path`` snapshot matching
+        this dataset's feature count."""
+        state = getattr(self, "_resume_state_", None)
+        self._resume_state_ = None
+        if state is None and self.checkpoint_path and os.path.exists(
+                self.checkpoint_path):
+            with open(self.checkpoint_path, "rb") as f:
+                state = pickle.load(f)
+        if state is None:
+            return None
+        if int(state["n_features_in"]) != self.n_features_in_:
+            return None  # different dataset: start fresh
+        return state
 
     def _make_fast_scorer(self, base, X, y):
         """Device-resident iteration fast path.
@@ -245,21 +325,34 @@ class TuRF(TransformerMixin, BaseEstimator):
     # -- checkpoint/resume of the elimination loop (TPU-build addition) ----
 
     def save_state(self) -> dict:
-        """Snapshot the fitted elimination state (picklable)."""
+        """Snapshot the fitted elimination state (picklable).
+
+        The dict has the same schema as the per-iteration
+        ``checkpoint_path`` snapshots, plus ``complete=True``.
+        """
         check_is_fitted(self)
-        return {
-            "active": self._active_.copy(),
-            "scores": self._final_scores_.copy(),
-            "feature_importances": self.feature_importances_.copy(),
-            "n_features_in": self.n_features_in_,
-        }
+        state = self._state_dict(self._active_, self._final_scores_,
+                                 getattr(self, "_iteration_", 0))
+        state["complete"] = True
+        return state
 
     def load_state(self, state: dict):
-        """Restore a snapshot produced by :meth:`save_state`."""
+        """Restore a snapshot.
+
+        A finished-fit snapshot (``complete=True``, from
+        :meth:`save_state`) restores the fitted attributes directly.  A
+        mid-run snapshot (a ``checkpoint_path`` file's contents) is
+        staged so the NEXT :meth:`fit` call resumes the elimination loop
+        from that iteration instead of restarting.
+        """
+        if not state.get("complete", False):
+            self._resume_state_ = dict(state)
+            return self
         self._active_ = np.asarray(state["active"])
         self._final_scores_ = np.asarray(state["scores"])
         self.feature_importances_ = np.asarray(state["feature_importances"])
         self.n_features_in_ = int(state["n_features_in"])
+        self._iteration_ = int(state.get("iteration", 0))
         order = np.argsort(self._final_scores_)[::-1]
         self.top_features_ = np.sort(self._active_[order])
         return self

@@ -16,8 +16,9 @@ Typical pod usage::
     scores = ring_relief_discrete_scores(codes, y, mesh=mesh)
 
 Fits are short-lived and stateless between calls, so elastic recovery is
-restart-based: rerun the fit (TuRF snapshots let long elimination runs
-resume mid-loop via ``save_state``/``load_state``).
+restart-based: rerun the fit.  Long TuRF elimination runs resume
+mid-loop from their per-iteration snapshots (``checkpoint_path``, or a
+mid-run state dict via ``load_state``) — see ``models/turf.py``.
 """
 
 from __future__ import annotations

@@ -109,3 +109,84 @@ def test_transform_incorrect_dimensions(data):
     t = TuRF(MockScorer(), n_features_to_select=2).fit(X, y)
     with pytest.raises(ValueError):
         t.transform(X[:, :-1])
+
+
+# ---------------------------------------------------------------------------
+# Mid-run checkpoint / resume (TPU-build addition: per-iteration snapshots
+# let long elimination runs survive a killed process — SURVEY §5)
+# ---------------------------------------------------------------------------
+
+class CountingScorer(MockScorer):
+    """MockScorer that counts fits and can die after `die_after` fits."""
+
+    def __init__(self, die_after=None):
+        self.die_after = die_after
+        self.n_fits = 0
+
+    def fit(self, X, y):
+        self.n_fits += 1
+        if self.die_after is not None and self.n_fits > self.die_after:
+            raise RuntimeError("simulated crash")
+        return super().fit(X, y)
+
+    # die_after/n_fits are test plumbing, not sklearn params: keep clone
+    # from resetting the counter mid-test
+    def __sklearn_clone__(self):
+        return self
+
+
+def test_kill_and_resume_identical_selection(data, tmp_path):
+    X, y = data
+    ckpt = str(tmp_path / "turf.ckpt")
+    kw = dict(n_features_to_select=2, pct_remove=0.15)
+
+    reference = TuRF(MockScorer(), **kw).fit(X, y)
+
+    dying = CountingScorer(die_after=3)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        TuRF(dying, checkpoint_path=ckpt, **kw).fit(X, y)
+    assert (tmp_path / "turf.ckpt").exists()  # snapshot survived the kill
+
+    resumer = CountingScorer()
+    t = TuRF(resumer, checkpoint_path=ckpt, **kw).fit(X, y)
+    assert_array_equal(t.top_features_, reference.top_features_)
+    assert_array_equal(t.feature_importances_,
+                       reference.feature_importances_)
+    # the resumed run re-ran only the remaining iterations, not all of
+    # them (3 scoring rounds already happened before the crash)
+    full_fits = CountingScorer()
+    TuRF(full_fits, checkpoint_path=str(tmp_path / "other.ckpt"),
+         **kw).fit(X, y)
+    assert resumer.n_fits == full_fits.n_fits - 3
+    # successful fits clean their snapshot up
+    assert not (tmp_path / "turf.ckpt").exists()
+
+
+def test_checkpoint_ignored_for_different_dataset(data, tmp_path):
+    X, y = data
+    ckpt = str(tmp_path / "turf.ckpt")
+    dying = CountingScorer(die_after=1)
+    with pytest.raises(RuntimeError):
+        TuRF(dying, checkpoint_path=ckpt, n_features_to_select=2,
+             pct_remove=0.15).fit(X, y)
+    X2 = np.concatenate([X, X], axis=1)  # different feature count
+    t = TuRF(MockScorer(), checkpoint_path=ckpt, n_features_to_select=2,
+             pct_remove=0.15).fit(X2, y)
+    assert t.n_features_in_ == X2.shape[1]
+
+
+def test_load_state_midrun_resumes_next_fit(data, tmp_path):
+    X, y = data
+    ckpt = str(tmp_path / "turf.ckpt")
+    kw = dict(n_features_to_select=3, pct_remove=0.2)
+    with pytest.raises(RuntimeError):
+        TuRF(CountingScorer(die_after=2), checkpoint_path=ckpt,
+             **kw).fit(X, y)
+    import pickle
+    with open(ckpt, "rb") as f:
+        state = pickle.load(f)
+    assert "iteration" in state and not state.get("complete", False)
+
+    reference = TuRF(MockScorer(), **kw).fit(X, y)
+    t = TuRF(MockScorer(), **kw).load_state(state).fit(X, y)
+    assert_array_equal(t.top_features_, reference.top_features_)
