@@ -54,6 +54,15 @@ def main(out):
         rows.append(("mdr", "MDR(k=2,cv=5)", n, p, round(s, 4)))
         print(f"MDR {n}x{p}: {s:.3f}s", flush=True)
 
+    # mRMR at GWAS p (streaming greedy, no (p, p) matrix — beyond the
+    # reference's reach: its redundancy matrix is CPU-only and O(p^2))
+    n, p = 2000, 50_000
+    X = rs.randint(0, 5, (n, p)).astype(np.int32)
+    y = rs.randint(0, 2, n)
+    s = timeit(lambda: mRMR(n_features_to_select=10).fit(X, y))
+    rows.append(("mrmr_stream", "mRMR", n, p, round(s, 4)))
+    print(f"mRMR(stream) {n}x{p}: {s:.3f}s", flush=True)
+
     # chi2 micro-benchmark (testing.py upstream: 2000 x 200000, 5 classes)
     X = rs.randint(0, 5, (2000, 200_000)).astype(np.float64)
     y = rs.randint(0, 5, 2000)

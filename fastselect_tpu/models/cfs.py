@@ -20,9 +20,14 @@ from sklearn.preprocessing import KBinsDiscretizer
 from sklearn.utils.validation import check_X_y, check_is_fitted
 
 from ..ops.contingency import (feature_target_tables, pairwise_stat_matrix,
-                               su_tables_reduce)
+                               pairwise_stat_columns, su_tables_reduce)
 from ..utils.backend import (resolve_backend, default_device,
                              execution_context)
+
+# Above this feature count the full (p, p) SU matrix is not materialised;
+# the best-first search and the redundancy prune only ever read r_ff
+# COLUMNS of selected features (k of them), streamed on demand.
+FULL_SU_MAX_P = 8192
 
 
 def _cfs_merit(sum_r_cf: float, k: int, sum_r_ff: float) -> float:
@@ -35,10 +40,14 @@ def _cfs_merit(sum_r_cf: float, k: int, sum_r_ff: float) -> float:
     return (k * r_cf_avg / denom) if denom > 1e-12 else 0.0
 
 
-def _best_first_search(r_cf: np.ndarray, r_ff: np.ndarray,
+def _best_first_search(r_cf: np.ndarray, get_col,
                        min_r_cf: float = 0.1) -> list[int]:
     """Greedy forward selection maximising merit (reference
-    ``CFS.py:114-162``), vectorised over candidates per round."""
+    ``CFS.py:114-162``), vectorised over candidates per round.
+
+    ``get_col(j) -> r_ff[:, j]`` supplies SU columns of selected
+    features only, so the caller may stream them without a (p, p)
+    matrix."""
     p = r_cf.shape[0]
     first = int(np.argmax(r_cf))
     if r_cf[first] < min_r_cf:
@@ -52,7 +61,7 @@ def _best_first_search(r_cf: np.ndarray, r_ff: np.ndarray,
     sum_r_cf = float(r_cf[first])
     sum_r_ff = 0.0
     # r_ff sums of each candidate against the current subset
-    cross = r_ff[:, first].astype(np.float64).copy()
+    cross = np.asarray(get_col(first), dtype=np.float64).copy()
 
     while True:
         cand = np.where(eligible & ~in_set)[0]
@@ -69,7 +78,7 @@ def _best_first_search(r_cf: np.ndarray, r_ff: np.ndarray,
             current_best = float(merits[best_pos])
             sum_r_cf += float(r_cf[i])
             sum_r_ff += float(cross[i])
-            cross += r_ff[:, i]
+            cross += get_col(i)
             selected.append(i)
             in_set[i] = True
         else:
@@ -77,12 +86,12 @@ def _best_first_search(r_cf: np.ndarray, r_ff: np.ndarray,
     return selected
 
 
-def _prune_redundant(selected, r_cf, r_ff) -> list[int]:
+def _prune_redundant(selected, r_cf, get_col) -> list[int]:
     """Drop features dominated by an already-kept one (reference
     ``CFS.py:106-112``): prune idx if r_ff[idx, j] >= r_cf[idx] for a kept j."""
     kept: list[int] = []
     for idx in sorted(selected, key=lambda i: -r_cf[i]):
-        if not any(r_ff[idx, j] >= r_cf[idx] for j in kept):
+        if not any(get_col(j)[idx] >= r_cf[idx] for j in kept):
             kept.append(idx)
     return kept
 
@@ -157,14 +166,34 @@ class CFS(BaseEstimator, SelectorMixin):
             r_cf_all = np.asarray(
                 su_tables_reduce(jnp.asarray(tables),
                                  np.float32(X.shape[0])), dtype=np.float32)
-        r_ff_matrix = pairwise_stat_matrix(
-            X_encoded, s, "su", device=device).astype(np.float32)
-        np.fill_diagonal(r_ff_matrix, 0.0)
+        if self.n_features_in_ > FULL_SU_MAX_P:
+            # GWAS scale: stream SU columns of selected features on
+            # demand (cached — the prune and merit reuse them) instead
+            # of materialising the (p, p) matrix; X tiles are staged on
+            # device once for the whole fit.
+            from ..ops.contingency import StagedColumnStats
+            staged = StagedColumnStats(X_encoded, s, device=device)
+            col_cache: dict[int, np.ndarray] = {}
 
-        selected = _best_first_search(r_cf_all, r_ff_matrix)
+            def get_col(j):
+                j = int(j)
+                if j not in col_cache:
+                    col = staged.column(j, "su").astype(np.float32)
+                    col[j] = 0.0
+                    col_cache[j] = col
+                return col_cache[j]
+        else:
+            r_ff_matrix = pairwise_stat_matrix(
+                X_encoded, s, "su", device=device).astype(np.float32)
+            np.fill_diagonal(r_ff_matrix, 0.0)
+
+            def get_col(j):
+                return r_ff_matrix[:, j]
+
+        selected = _best_first_search(r_cf_all, get_col)
         selected = np.sort(np.asarray(selected, dtype=int))
         selected = np.sort(np.asarray(
-            _prune_redundant(selected, r_cf_all, r_ff_matrix), dtype=int))
+            _prune_redundant(selected, r_cf_all, get_col), dtype=int))
         self.selected_indices_ = selected
         self.support_mask_ = np.zeros(self.n_features_in_, dtype=bool)
         if len(selected) > 0:
@@ -175,8 +204,9 @@ class CFS(BaseEstimator, SelectorMixin):
             self.merit_ = 0.0
         else:
             sum_r_cf = float(np.sum(r_cf_all[selected]))
-            sum_r_ff = float(np.sum(np.triu(
-                r_ff_matrix[np.ix_(selected, selected)], k=1)))
+            sum_r_ff = float(sum(
+                get_col(selected[a])[selected[b]]
+                for a in range(k) for b in range(a + 1, k)))
             self.merit_ = _cfs_merit(sum_r_cf, k, sum_r_ff)
         return self
 

@@ -16,6 +16,14 @@ from ..ops.chi2_op import chi2_stats, chi2_stats_exact
 from ..utils.backend import resolve_backend, default_device
 
 
+def _is_device_array(x) -> bool:
+    try:
+        import jax
+        return isinstance(x, jax.Array)
+    except ImportError:  # pragma: no cover
+        return False
+
+
 def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
          exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Chi-squared statistics and p-values for each feature.
@@ -36,6 +44,7 @@ def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
     -------
     (chi2_stats, p_values) : tuple of ndarray of shape (n_features,)
     """
+    was_device = _is_device_array(X)
     X = check_array(X, dtype=[np.float64, np.float32], ensure_2d=True)
     X, y = check_X_y(X, y, y_numeric=True)
 
@@ -51,6 +60,14 @@ def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
                 np.ones(n_features, dtype=np.float64))
 
     effective = "cpu" if exact else resolve_backend(backend, "chi2")
+    if effective != "cpu" and backend == "auto" and not was_device:
+        # chi2 is O(n*p) compute over 4*n*p transferred bytes — for a
+        # HOST-resident X the H2D alone costs more than the whole f64
+        # BLAS path (the reference's own 2000x200000 benchmark config,
+        # benchmarking/testing.py:10-13, is transfer-bound on any
+        # accelerator).  'auto' therefore stays on host unless X already
+        # lives on device; backend='tpu' still forces the device matmul.
+        effective = "cpu"
     if effective == "cpu":
         # The CPU backend IS the f64 parity oracle: the reference's own
         # suite pins chi2 to sklearn at rtol 1e-6 and exact 0.0 for

@@ -17,6 +17,12 @@ from sklearn.utils.validation import check_is_fitted, validate_data
 from ..ops import mi as mi_ops
 from ..utils.backend import tpu_available
 
+# Above this feature count the full (p, p) redundancy matrix is not
+# materialised (O(p^2) host floats — ~80 GB at GWAS p); the greedy loop
+# streams one redundancy COLUMN per selected feature instead
+# (ops/contingency.pairwise_stat_columns), O(k * p) work and O(p) memory.
+FULL_REDUNDANCY_MAX_P = 8192
+
 
 def _encode_union(X: np.ndarray, y: np.ndarray):
     """Integer-encode X and y against their combined sorted vocabulary
@@ -87,39 +93,67 @@ class mRMR(BaseEstimator, TransformerMixin):
         X_enc, y_enc, unique_vals = _encode_union(X, y)
         self.unique_vals_ = unique_vals
 
-        relevance, redundancy = mi_ops.calculate_mi_matrices(
-            X_enc, y_enc, backend=self.backend, unit="bit")
+        if self.n_features_in_ > FULL_REDUNDANCY_MAX_P:
+            # GWAS scale: relevance vector only; redundancy columns of
+            # the (few) selected features stream on demand against
+            # device tiles staged ONCE for the whole fit.
+            from ..ops.contingency import StagedColumnStats
+            from ..utils.backend import resolve_backend, default_device
+            self.redundancy_matrix_ = None
+            device = default_device(resolve_backend(self.backend, "mRMR"))
+            s = int(max(X_enc.max() if X_enc.size else 0, y_enc.max())) + 1
+            staged = StagedColumnStats(X_enc, s, device=device)
+            relevance = staged.stats_vs(y_enc, s, "mi")
+
+            def redundancy_column(j):
+                return staged.column(j, "mi")
+        else:
+            relevance, redundancy = mi_ops.calculate_mi_matrices(
+                X_enc, y_enc, backend=self.backend, unit="bit")
+            self.redundancy_matrix_ = redundancy
+
+            def redundancy_column(j):
+                return redundancy[:, j]
+
         self.relevance_scores_ = relevance
-        self.redundancy_matrix_ = redundancy
-
-        selected = np.zeros(self.n_features_to_select, dtype=np.int32)
-        remaining = np.ones(self.n_features_in_, dtype=bool)
-
-        first = int(np.argmax(relevance))
-        selected[0] = first
-        remaining[first] = False
-        redundancy_sum = redundancy[:, first].copy()
-
-        for i in range(1, self.n_features_to_select):
-            cand = np.where(remaining)[0]
-            mean_red = redundancy_sum[cand] / i
-            if self.method == "MID":
-                scores = relevance[cand] - mean_red
-            else:  # MIQ
-                scores = relevance[cand] / (mean_red + 1e-9)
-            best = np.max(scores)
-            tied = cand[np.isclose(scores, best, atol=1e-12)]
-            if tied.size > 1:
-                pick = tied[int(np.argmin(redundancy_sum[tied] / i))]
-            else:
-                pick = tied[0]
-            selected[i] = pick
-            remaining[pick] = False
-            redundancy_sum += redundancy[:, pick]
-
-        self.top_features_ = selected
+        self.top_features_ = self._greedy_select(relevance,
+                                                 redundancy_column)
         self.feature_importances_ = self.relevance_scores_
         return self
+
+    def _greedy_select(self, relevance, redundancy_column):
+        """Greedy mRMR rounds over masked full-length vectors.
+
+        Selection contract matches the reference bit-for-bit
+        (``mRMR.py:102-131``): MID/MIQ criterion, ``np.isclose``
+        (atol=1e-12) tie groups resolved by lowest accumulated
+        redundancy.  Only redundancy COLUMNS of chosen features are ever
+        read, so the caller may stream them (no (p, p) matrix).
+        """
+        k = self.n_features_to_select
+        taken = np.zeros(self.n_features_in_, dtype=bool)
+        chosen = np.empty(k, dtype=np.int32)
+        chosen[0] = np.argmax(relevance)
+        taken[chosen[0]] = True
+        red_sum = np.array(redundancy_column(chosen[0]), dtype=np.float64)
+
+        for rnd in range(1, k):
+            mean_red = red_sum / rnd
+            if self.method == "MID":
+                crit = relevance - mean_red
+            else:  # MIQ
+                crit = relevance / (mean_red + 1e-9)
+            open_ = ~taken
+            best = np.max(crit[open_])
+            ties = np.flatnonzero(open_
+                                  & np.isclose(crit, best, atol=1e-12))
+            pick = (ties[np.argmin(red_sum[ties])]
+                    if ties.size > 1 else ties[0])
+            chosen[rnd] = pick
+            taken[pick] = True
+            red_sum += redundancy_column(pick)
+
+        return chosen
 
     def transform(self, X: np.ndarray) -> np.ndarray:
         """Reduce X to the selected features."""

@@ -65,11 +65,13 @@ def chi2_stats_exact(x: np.ndarray, y_mapped: np.ndarray,
     """Float64 host reference path (parity oracle / tiny inputs)."""
     n_samples = x.shape[0]
     x64 = np.asarray(x, dtype=np.float64)
-    observed = np.empty((n_classes, x.shape[1]), dtype=np.float64)
-    for c in range(n_classes):
-        # per-class vectorised sums: ~100x faster than np.add.at's
-        # element scatter at the reference's 2000x200000 benchmark shape
-        observed[c] = x64[y_mapped == c].sum(axis=0)
+    # observed = onehot(y).T @ X as one f64 BLAS matmul (2*c*n*p flops,
+    # multithreaded) — the same one-matmul formulation the device path
+    # uses, ~10x faster again than per-class masked sums at the
+    # reference's 2000x200000 benchmark shape
+    indicator = np.zeros((n_classes, n_samples), dtype=np.float64)
+    indicator[y_mapped, np.arange(n_samples)] = 1.0
+    observed = indicator @ x64
     feature_counts = observed.sum(axis=0)
     class_freqs = np.bincount(y_mapped, minlength=n_classes).astype(np.float64)
     expected = class_freqs[:, None] * feature_counts[None, :] / n_samples

@@ -158,13 +158,143 @@ def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
     return np.concatenate(outs, axis=0)[:p]
 
 
+class StagedColumnStats:
+    """Device-staged column statistics for the memory-bounded greedy
+    loops (mRMR / CFS at GWAS p): they only ever consume redundancy
+    columns of *selected* features — k columns, not the full matrix the
+    reference always materialises (``mutual_information.py:184-193``).
+
+    X's feature tiles are uploaded ONCE (the H2D is the dominant cost on
+    tunnelled runtimes; re-staging per column would pay it k times) and
+    every column statistic runs against the resident tiles.  Counts are
+    exact integers in f32, so a column here is bitwise identical to the
+    corresponding column of :func:`pairwise_stat_matrix`.
+    """
+
+    def __init__(self, X_enc: np.ndarray, s: int, device=None,
+                 log_base: float = math.log(2.0)):
+        from ..utils.backend import execution_context
+
+        self.n, self.p = X_enc.shape
+        self.s = int(s)
+        self.device = device
+        self.log_base = log_base
+        budget = (256 << 20) // 4
+        self.tile = int(min(8192, max(8, budget // max(self.n * s, 1))))
+        self.p_pad = _round_up(self.p, self.tile)
+        # int8 staging when codes fit (4x less tunnel traffic)
+        dt = np.int8 if s <= 127 else np.int32
+        self._tiles = []
+        with execution_context(device):
+            for t0 in range(0, self.p_pad, self.tile):
+                blk = np.zeros((self.n, self.tile), dt)
+                end = min(t0 + self.tile, self.p)
+                if end > t0:
+                    blk[:, :end - t0] = X_enc[:, t0:end]
+                self._tiles.append(jax.device_put(blk))
+
+    def _reduce(self, tables, stat):
+        n_real = np.float32(self.n)
+        if stat == "mi":
+            return mi_tables_reduce(tables, n_real, self.log_base)
+        if stat == "su":
+            return su_tables_reduce(tables, n_real)
+        raise ValueError(stat)  # pragma: no cover
+
+    def stats_vs(self, v_enc: np.ndarray, s_v: int, stat: str) -> np.ndarray:
+        """stat(X_f, v) for every feature f against the 1-D codes v."""
+        from ..utils.backend import execution_context
+
+        outs = []
+        with execution_context(self.device):
+            voh = jax.nn.one_hot(
+                jax.device_put(np.asarray(v_enc, np.int32)), s_v,
+                dtype=jnp.float32)
+            for xt in self._tiles:
+                tables = _staged_tables_tile(xt, voh, s_x=self.s, s_y=s_v)
+                outs.append(np.asarray(self._reduce(tables, stat)))
+        return np.concatenate(outs)[:self.p].astype(np.float64)
+
+    def column(self, j: int, stat: str) -> np.ndarray:
+        """One COLUMN of the pairwise statistic matrix, O(p * s^2)."""
+        from ..utils.backend import execution_context
+
+        ti, off = divmod(int(j), self.tile)
+        outs = []
+        with execution_context(self.device):
+            voh = _staged_col_onehot(self._tiles[ti], off, s=self.s)
+            for xt in self._tiles:
+                tables = _staged_tables_tile(xt, voh, s_x=self.s,
+                                             s_y=self.s)
+                outs.append(np.asarray(self._reduce(tables, stat)))
+        return np.concatenate(outs)[:self.p].astype(np.float64)
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _staged_col_onehot(xt, off, *, s):
+    return jax.nn.one_hot(
+        jax.lax.dynamic_slice_in_dim(xt, off, 1, axis=1)[:, 0]
+        .astype(jnp.int32), s, dtype=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("s_x", "s_y"))
+def _staged_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
+    n, tile = Xt.shape
+    xoh = jax.nn.one_hot(Xt.astype(jnp.int32), s_x,
+                         dtype=jnp.float32).reshape(n, tile * s_x)
+    counts = jax.lax.dot_general(
+        xoh, yoh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return counts.reshape(tile, s_x, s_y)
+
+
+def pairwise_stat_columns(X_enc: np.ndarray, col: np.ndarray, s: int,
+                          stat: str, device=None,
+                          log_base: float = math.log(2.0)) -> np.ndarray:
+    """One COLUMN of the pairwise statistic matrix (one-shot staging;
+    use :class:`StagedColumnStats` when reading several columns)."""
+    from ..utils.backend import execution_context
+
+    tables = feature_target_tables(X_enc, np.asarray(col, np.int32), s, s,
+                                   device)
+    n_real = np.float32(X_enc.shape[0])
+    with execution_context(device):
+        t = jnp.asarray(tables)
+        if stat == "mi":
+            out = mi_tables_reduce(t, n_real, log_base)
+        elif stat == "su":
+            out = su_tables_reduce(t, n_real)
+        else:  # pragma: no cover
+            raise ValueError(stat)
+        return np.asarray(out, dtype=np.float64)
+
+
 def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
                          device=None, log_base: float = math.log(2.0),
                          symmetric: bool = True) -> np.ndarray:
     """Full (p, p) pairwise statistic ('mi' or 'su') over feature pairs."""
+    import os
     from ..utils.backend import execution_context
 
     n, p = X_enc.shape
+    if (p >= 1024 and device is not None
+            and os.environ.get("FS_NO_AUTO_SHARD") != "1"):
+        devs = [d for d in jax.devices() if d.platform == device.platform]
+        if len(devs) > 1:
+            # >1 accelerator: feature-pair tiles across the mesh (counts
+            # are exact ints, so entries match this path bitwise)
+            from ..parallel.feature_shard import (
+                sharded_pairwise_stat_matrix)
+            out = sharded_pairwise_stat_matrix(X_enc, s, stat,
+                                               devices=devs,
+                                               log_base=log_base)
+            if symmetric:
+                # same bitwise-symmetry contract as the tiled host path
+                upper = np.triu(out, 1)
+                out = upper + upper.T + np.diag(np.diag(out))
+            return out
     # (tile*s)^2 count block ~400 MB / (n, tile*s) one-hot ~256 MB caps;
     # big tiles keep the MXU fed and the per-call dispatch overhead low
     lim_block = int((400 << 20) // 4) ** 0.5

@@ -60,6 +60,41 @@ def calculate_mi_single_pair(
     return float(np.asarray(mi)[0])
 
 
+def _validated_setup(X, y, backend, unit, caller):
+    if X.ndim != 2 or y.ndim != 1 or X.shape[0] != y.shape[0]:
+        raise ValueError("X must be 2-D and y 1-D with matching sample size")
+    X_d = _validate_discrete(X, "X")
+    y_d = _validate_discrete(y, "y")
+    log_base = math.log(2.0) if unit == "bit" else 1.0
+    device = default_device(resolve_backend(backend, caller))
+    s = int(max(X_d.max() if X_d.size else 0, y_d.max())) + 1
+    return X_d, y_d, log_base, device, s
+
+
+def calculate_mi_relevance(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    backend: Literal["auto", "cpu", "tpu"] = "auto",
+    unit: Literal["bit", "nat"] = "bit",
+) -> np.ndarray:
+    """Relevance vector only: I(X_f; y) per feature, O(p) memory.
+
+    The GWAS-scale entry point — no (p, p) matrix is built.  Pair with
+    ``ops.contingency.pairwise_stat_columns`` for redundancy columns on
+    demand (memory-bounded mRMR greedy).
+    """
+    from ..utils.backend import execution_context
+    X_d, y_d, log_base, device, s = _validated_setup(
+        X, y, backend, unit, "calculate_mi_relevance")
+    tables = feature_target_tables(X_d, y_d, s, s, device)
+    with execution_context(device):
+        return np.asarray(
+            mi_tables_reduce(jnp.asarray(tables),
+                             np.float32(X_d.shape[0]), log_base),
+            dtype=np.float64)
+
+
 def calculate_mi_matrices(
     X: np.ndarray,
     y: np.ndarray,
@@ -72,24 +107,9 @@ def calculate_mi_matrices(
     relevance[f] = I(X_f; y); redundancy[i, j] = I(X_i; X_j) with zero
     diagonal, both in `unit`.
     """
-    if X.ndim != 2 or y.ndim != 1 or X.shape[0] != y.shape[0]:
-        raise ValueError("X must be 2-D and y 1-D with matching sample size")
-    X_d = _validate_discrete(X, "X")
-    y_d = _validate_discrete(y, "y")
-    log_base = math.log(2.0) if unit == "bit" else 1.0
-    effective = resolve_backend(backend, "calculate_mi_matrices")
-    device = default_device(effective)
-
-    n = X_d.shape[0]
-    s = int(max(X_d.max() if X_d.size else 0, y_d.max())) + 1
-
-    from ..utils.backend import execution_context
-    tables = feature_target_tables(X_d, y_d, s, s, device)
-    with execution_context(device):
-        relevance = np.asarray(
-            mi_tables_reduce(jnp.asarray(tables), np.float32(n), log_base),
-            dtype=np.float64)
-
+    X_d, y_d, log_base, device, s = _validated_setup(
+        X, y, backend, unit, "calculate_mi_matrices")
+    relevance = calculate_mi_relevance(X, y, backend=backend, unit=unit)
     redundancy = pairwise_stat_matrix(X_d, s, "mi", device=device,
                                       log_base=log_base)
     np.fill_diagonal(redundancy, 0.0)

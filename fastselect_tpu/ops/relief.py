@@ -428,7 +428,10 @@ def relief_scores(
         if bool(np.any(is_discrete)) and n <= HYBRID_MAX_N:
             # Mixed data: discrete columns as MXU one-hot matmuls,
             # continuous columns through the Pallas kernels, weights
-            # computed once from the combined distances.
+            # computed once from the combined distances.  Above ~24k
+            # samples focal super-blocks stream (relief_hybrid.py) so
+            # HBM stays bounded up to the same 131072-row cap as the
+            # continuous path.
             return relief_hybrid_scores(
                 x, y, recip, is_discrete, algo=algo, use_star=use_star,
                 n_neighbors=n_neighbors, class_probs=class_probs,

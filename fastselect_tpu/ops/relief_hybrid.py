@@ -28,10 +28,15 @@ from .relief import pair_weight_rules, _sum_rules, _round_up
 from .relief_discrete import (_match_rows, _accumulate_discrete,
                               _discrete_tile_sizes)
 from .relief_pallas import (pallas_dist_matrix, pallas_accumulate, _tiles,
-                            _SB)
+                            _focal_block_rows, _SB)
 
-# W and D are materialised (n_pad^2 f32 each); cap keeps them in HBM
-HYBRID_MAX_N = 24576
+# Square path materialises (n_pad^2) f32 D and W; beyond this the blocked
+# path streams focal super-blocks so only (nb, n_pad) blocks exist at once
+HYBRID_SQUARE_MAX_N = 24576
+# Beyond this, callers fall back to the generic streaming engine (one
+# lax.map dispatch over >128k focal rows risks multi-minute dispatches —
+# same cap as the continuous Pallas path).
+HYBRID_MAX_N = 131072
 
 
 @partial(jax.jit, static_argnames=("algo", "use_star", "k",
@@ -56,6 +61,42 @@ def _hybrid_engine(xc, codes_d, yv, valid, recip2, disc2,
     W = _sum_rules(rules)
     s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc)
     return s_c, s_d
+
+
+@partial(jax.jit, static_argnames=("algo", "use_star", "k",
+                                   "ti", "tj", "ftc", "ftd", "s", "nb"))
+def _hybrid_engine_blocked(xc, codes_d, yv, valid, recip2, disc2,
+                           n_real, class_probs,
+                           *, algo, use_star, k, ti, tj, ftc, ftd, s, nb):
+    """Large-n mixed-data path: focal super-blocks of ``nb`` rows stream
+    against all samples (mirroring ``_pallas_engine_blocked``), so only
+    (nb, n_pad) distance/weight blocks materialise — mixed data keeps
+    the MXU+VPU split at any n the reference handles
+    (``MultiSURF.py:37-43``) instead of hard-capping at 24k samples."""
+    n_pad = xc.shape[0]
+    p_c_pad = xc.shape[1]
+    p_d_pad = codes_d.shape[1]
+
+    def per_block(b):
+        xi = jax.lax.dynamic_slice(xc, (b * nb, 0), (nb, p_c_pad))
+        ci = jax.lax.dynamic_slice(codes_d, (b * nb, 0), (nb, p_d_pad))
+        D = pallas_dist_matrix(xc, recip2, disc2, ti, tj, ftc, xi=xi)
+        match = _match_rows(ci, codes_d, ftd, s)
+        D = D + (jnp.int32(p_d_pad) - match).astype(jnp.float32)
+        iid = b * nb + jnp.arange(nb, dtype=jnp.int32)
+        yi = jax.lax.dynamic_slice(yv, (b * nb,), (nb,))
+        vi = jax.lax.dynamic_slice(valid, (b * nb,), (nb,))
+        rules = pair_weight_rules(
+            D, yi, vi, iid, yv, valid, n_real, class_probs,
+            algo=algo, use_star=use_star, k=k)
+        s_d = _accumulate_discrete(ci, codes_d, rules, ftd, s)
+        W = _sum_rules(rules)
+        s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc, xi=xi)
+        return s_c, s_d
+
+    s_c_parts, s_d_parts = jax.lax.map(per_block,
+                                       jnp.arange(n_pad // nb))
+    return s_c_parts.sum(axis=0), s_d_parts.sum(axis=0)
 
 
 def relief_hybrid_scores(
@@ -117,15 +158,23 @@ def relief_hybrid_scores(
     if class_probs is None:
         class_probs = np.zeros((1,), np.float32)
 
+    kw = dict(algo=algo, use_star=use_star, k=int(n_neighbors),
+              ti=ti, tj=tj, ftc=ftc, ftd=ftd, s=n_states)
+    nb = (n_pad if n_pad <= HYBRID_SQUARE_MAX_N
+          else _focal_block_rows(n_pad, max(ti, tj)))
     with execution_context(device):
         if device is not None and device.platform != "cpu":
             xc = jax.device_put(xc)
             cd = jax.device_put(cd)
-        s_c, s_d = _hybrid_engine(
-            xc, cd, yv, valid, recip2, disc2,
-            np.float32(n), np.asarray(class_probs, np.float32),
-            algo=algo, use_star=use_star, k=int(n_neighbors),
-            ti=ti, tj=tj, ftc=ftc, ftd=ftd, s=n_states)
+        if nb == n_pad:
+            s_c, s_d = _hybrid_engine(
+                xc, cd, yv, valid, recip2, disc2,
+                np.float32(n), np.asarray(class_probs, np.float32), **kw)
+        else:
+            s_c, s_d = _hybrid_engine_blocked(
+                xc, cd, yv, valid, recip2, disc2,
+                np.float32(n), np.asarray(class_probs, np.float32),
+                nb=nb, **kw)
         s_c = np.asarray(s_c, np.float32)
         s_d = np.asarray(s_d, np.float32)
 

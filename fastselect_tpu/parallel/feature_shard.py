@@ -97,6 +97,89 @@ def feature_sharded_relief_discrete_scores(
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
 
 
+def sharded_pairwise_stat_matrix(
+    X_enc: np.ndarray,
+    s: int,
+    stat: str,
+    *,
+    devices=None,
+    mesh: Mesh | None = None,
+    log_base: float | None = None,
+    tile: int = 512,
+) -> np.ndarray:
+    """(p, p) pairwise 'mi'/'su' matrix with feature-PAIR tiles sharded
+    over the mesh (SURVEY.md §3.4: tile feature pairs across chips,
+    psum-free — pairs are independent).
+
+    Each device owns a block-row: its feature shard against ALL
+    features, built from one-hot contingency matmuls over (tile, tile)
+    sub-blocks.  Counts are exact integers in f32, so every entry is
+    identical to the single-device ``ops.contingency`` builders.
+    Per-chip memory: O(p^2/ndev + n*tile*s); comms: the final gather
+    only.
+    """
+    import math as _math
+    from ..ops.contingency import mi_from_tables, su_from_tables
+
+    if log_base is None:
+        log_base = _math.log(2.0)
+    n, p = X_enc.shape
+    if mesh is None:
+        mesh = make_mesh(devices)
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    tile = int(min(tile, _round_up(max(p // ndev, 1), 8)))
+    pb = _round_up(-(-p // ndev), tile)
+    p_pad = pb * ndev
+    Xp = np.zeros((n, p_pad), np.int32)
+    Xp[:, :p] = X_enc
+
+    @partial(jax.jit, static_argnames=("s_", "stat_", "tile_"))
+    def _run(xa, n_real, *, s_, stat_, tile_):
+        def pair_block(xi_oh, xj):
+            xj_oh = jax.nn.one_hot(xj, s_, dtype=jnp.float32).reshape(
+                n, tile_ * s_)
+            counts = jax.lax.dot_general(
+                xi_oh, xj_oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(tile_, s_, tile_, s_).transpose(0, 2, 1, 3)
+            if stat_ == "mi":
+                return mi_from_tables(counts, n_real, log_base)
+            return su_from_tables(counts, n_real)
+
+        def local_fn(xi_shard, xall):
+            def over_i(i):
+                Xi = jax.lax.dynamic_slice(xi_shard, (0, i * tile_),
+                                           (n, tile_))
+                xi_oh = jax.nn.one_hot(Xi, s_, dtype=jnp.float32).reshape(
+                    n, tile_ * s_)
+
+                def over_j(j):
+                    Xj = jax.lax.dynamic_slice(xall, (0, j * tile_),
+                                               (n, tile_))
+                    return pair_block(xi_oh, Xj)
+
+                return jax.lax.map(over_j,
+                                   jnp.arange(p_pad // tile_))
+
+            blocks = jax.lax.map(over_i, jnp.arange(pb // tile_))
+            # (nti, ntj, tile, tile) -> (pb, p_pad)
+            return blocks.transpose(0, 2, 1, 3).reshape(pb, p_pad)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(None, axis), P(None, None)),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )(xa, xa)
+
+    xa = jnp.asarray(Xp)
+    out = _run(xa, jnp.float32(n), s_=int(s), stat_=stat, tile_=tile)
+    return np.asarray(out, np.float64)[:p, :p]
+
+
 def sharded_chi2_stats(x: np.ndarray, y_mapped: np.ndarray,
                        n_classes: int, *, devices=None,
                        mesh: Mesh | None = None) -> np.ndarray:

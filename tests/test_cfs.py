@@ -100,3 +100,18 @@ def test_all_discrete_input(rng):
     ]).astype(np.int64)
     c = CFS(backend="cpu").fit(X, y)
     assert 0 in c.selected_indices_
+
+
+def test_streaming_su_columns_match_full_matrix(monkeypatch, rng):
+    """GWAS-p CFS (no (p, p) SU matrix) must select identically."""
+    import fastselect_tpu.models.cfs as C
+
+    X = rng.randint(0, 3, (100, 30)).astype(np.float64)
+    X[:, 2] = (rng.rand(100) > 0.5) * 2.0
+    y = (X[:, 2] > 0).astype(np.float64)
+    full = C.CFS(backend="cpu").fit(X, y)
+    monkeypatch.setattr(C, "FULL_SU_MAX_P", 5)  # force streaming
+    stream = C.CFS(backend="cpu").fit(X, y)
+    np.testing.assert_array_equal(stream.selected_indices_,
+                                  full.selected_indices_)
+    np.testing.assert_allclose(stream.merit_, full.merit_, rtol=1e-6)

@@ -3,7 +3,7 @@
 
 import numpy as np
 import pytest
-from numpy.testing import assert_allclose
+from numpy.testing import assert_allclose, assert_array_equal
 
 import jax
 
@@ -273,3 +273,47 @@ def test_auto_dispatch_skips_small_fits(monkeypatch, rng):
     from fastselect_tpu import MultiSURF
     MultiSURF(backend="cpu").fit(X, y)
     assert calls == []
+
+
+# ---------------------------------------------------------------------------
+# Feature-pair-tile sharding of the p x p statistic matrices (SURVEY §3.4;
+# VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("stat", ["mi", "su"])
+def test_sharded_pairwise_stat_matches_single_device(stat, rng):
+    from fastselect_tpu.ops.contingency import pairwise_stat_matrix
+    from fastselect_tpu.parallel.feature_shard import (
+        sharded_pairwise_stat_matrix)
+    from fastselect_tpu.utils.backend import default_device
+
+    X = rng.randint(0, 4, (90, 50)).astype(np.int32)
+    ref = pairwise_stat_matrix(X, 4, stat, device=default_device("cpu"))
+    got = sharded_pairwise_stat_matrix(X, 4, stat, tile=8)
+    assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
+
+
+def test_pairwise_stat_matrix_autoroutes_to_mesh(monkeypatch, rng):
+    """With >1 device visible and p large enough, the host builder must
+    dispatch through the sharded feature-pair-tile path."""
+    import fastselect_tpu.parallel.feature_shard as FS
+    from fastselect_tpu.ops.contingency import pairwise_stat_matrix
+    from fastselect_tpu.utils.backend import default_device
+
+    calls = []
+    orig = FS.sharded_pairwise_stat_matrix
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(FS, "sharded_pairwise_stat_matrix", spy)
+    X = rng.randint(0, 3, (40, 1030)).astype(np.int32)
+    dev = default_device("cpu")
+    got = pairwise_stat_matrix(X, 3, "mi", device=dev)
+    assert calls == [1]
+    monkeypatch.setenv("FS_NO_AUTO_SHARD", "1")
+    ref = pairwise_stat_matrix(X, 3, "mi", device=dev)
+    assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
+    # both paths honour the bitwise-symmetry contract
+    assert_array_equal(got, got.T)
