@@ -83,6 +83,20 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
             print(f"flagship_snp MultiSURF {n}x{p}: {t.seconds:.2f}s",
                   flush=True)
 
+    if large:
+        # mixed discrete+continuous beyond the old 24k hybrid cap
+        # (blocked hybrid engine streams focal super-blocks)
+        rs = np.random.RandomState(1)
+        n, p = 50_000, 64
+        X = rs.rand(n, p)
+        X[:, :p // 2] = rs.randint(0, 3, (n, p // 2))
+        y = rs.randint(0, 2, n)
+        t = timed_fit(lambda: MultiSURF(n_features_to_select=10), X, y)
+        rows.append(("large_n_mixed", "MultiSURF", n, p,
+                     round(t.seconds, 5), round(t.throughput, 1)))
+        print(f"large_n_mixed MultiSURF {n}x{p}: {t.seconds:.2f}s",
+              flush=True)
+
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["scenario", "estimator", "n_samples", "n_features",

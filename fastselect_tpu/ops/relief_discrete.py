@@ -366,6 +366,122 @@ def _accumulate_plan(ci, codes_a, rules, plan, seg_starts, seg_lens,
     return parts.reshape(p_pad)
 
 
+def _match_rows_raw(ci, codes_a, ft, n_states):
+    """Pass 1 over an UNPADDED feature axis: full ft tiles + one ragged
+    tail matmul (the huge-device-codes path cannot column-pad a copy)."""
+    ti = ci.shape[0]
+    n_raw, p_raw = codes_a.shape
+    nf = p_raw // ft
+
+    def over_f(acc, f):
+        ca_t = jax.lax.dynamic_slice(codes_a, (0, f * ft), (n_raw, ft))
+        ci_t = jax.lax.dynamic_slice(ci, (0, f * ft), (ti, ft))
+        acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
+                           _onehot_flat(ca_t, n_states))
+        return acc, None
+
+    acc = jnp.zeros((ti, n_raw), _ACC_DTYPE)
+    if nf:
+        acc, _ = jax.lax.scan(over_f, acc, jnp.arange(nf))
+    tail = p_raw - nf * ft
+    if tail:
+        ca_t = jax.lax.dynamic_slice(codes_a, (0, nf * ft),
+                                     (n_raw, tail))
+        ci_t = jax.lax.dynamic_slice(ci, (0, nf * ft), (ti, tail))
+        acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
+                           _onehot_flat(ca_t, n_states))
+    return acc
+
+
+def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
+                            offs, ft, n_states, use_star):
+    """Gather-mode twin of ``_accumulate_plan`` for UNSORTED j-columns.
+
+    At GWAS scale a sorted copy of the device code matrix does not fit
+    HBM next to the original (9 GB each on a 16 GB chip) — so the j side
+    stays in original order and each class segment is materialised per
+    f-window by GATHERING its rows/columns (``idx_arrays[pos]``; pad
+    entries are killed by ``padvs[pos]``).  ``offs`` are ft-wide window
+    start columns; the last window may OVERLAP the previous one to cover
+    a ragged feature tail (per-feature scores are window-independent, so
+    overlapped features just recompute identically).
+    """
+    ti = ci.shape[0]
+    n_raw = codes_a.shape[0]
+    sft = n_states * ft
+
+    all_int = all(spec in ("surf_hit", "surf_miss") for spec, _ in plan)
+    acc_dtype = _ACC_DTYPE if all_int else jnp.float32
+    zero = jnp.int32(0) if all_int else jnp.float32(0.0)
+    operands = [(_plan_operand(spec, rules, use_star), segs)
+                for spec, segs in plan]
+    if all_int:
+        coeffs = [r.astype(_ACC_DTYPE) for _, r in rules]
+    else:
+        coeffs = [r for _, r in rules]
+    total_w = sum(
+        (r * m.sum(axis=1, dtype=_ACC_DTYPE).astype(acc_dtype)).sum()
+        for (m, _), r in zip(rules, coeffs))
+    n_cls = len(idx_arrays)
+
+    # hoist the window-invariant mask column-gathers OUT of the f-scan
+    # (a (TI, n) column gather per window would dominate the runtime)
+    staged = []
+    for (mat, coeff), segs in operands:
+        parts_m = []
+        for pos in segs:
+            if pos == n_cls:  # full span
+                parts_m.append((mat, None))
+            else:
+                idx, pv = idx_arrays[pos], padvs[pos]
+                parts_m.append(
+                    (jnp.take(mat, idx, axis=1) * pv[None, :], idx))
+        staged.append((parts_m, coeff))
+
+    def over_f(_, off):
+        ci_t = jax.lax.dynamic_slice(ci, (0, off), (ti, ft))
+        ca_t = jax.lax.dynamic_slice(codes_a, (0, off), (n_raw, ft))
+        p_sum = jnp.zeros((ti, sft), acc_dtype)
+        for parts_m, coeff in staged:
+            q = jnp.zeros((ti, sft), _ACC_DTYPE)
+            for m_seg, idx in parts_m:
+                if idx is None:
+                    q = q + _dot(m_seg, _onehot_flat(ca_t, n_states))
+                else:
+                    cseg = jnp.take(ca_t, idx, axis=0)
+                    q = q + _dot(m_seg, _onehot_flat(cseg, n_states))
+            if coeff is None:
+                p_sum = p_sum + q.astype(acc_dtype)
+            else:
+                p_sum = p_sum + q.astype(jnp.float32) * coeff[:, None]
+        ai = _onehot_flat(ci_t, n_states)
+        t2 = jnp.where(ai > 0, p_sum, zero).sum(axis=0)
+        part = total_w - t2.reshape(n_states, ft).sum(axis=0)
+        return None, part.astype(jnp.float32)
+
+    _, parts = jax.lax.scan(over_f, None, offs)
+    return parts  # (n_windows, ft)
+
+
+@partial(jax.jit, static_argnames=(
+    "algo", "use_star", "k", "ft", "n_states", "plan"))
+def _relief_discrete_block_v2g(cpad, yv, valid, sidx, yi, vi, iid,
+                               n_real, class_probs, idx_arrays, padvs,
+                               offs, *, algo, use_star, k, ft, n_states,
+                               plan):
+    """One virtually-sorted focal block against the UNSORTED, UNPADDED
+    code matrix (the huge-device-codes streamed path: no sorted or
+    padded copy exists — focal rows and class segments are gathered)."""
+    ci = jnp.take(cpad, sidx, axis=0)
+    match = _match_rows_raw(ci, cpad, ft, n_states)
+    D = (jnp.int32(cpad.shape[1]) - match).astype(jnp.float32)
+    rules = pair_weight_rules(
+        D, yi, vi, iid, yv, valid, n_real, class_probs,
+        algo=algo, use_star=use_star, k=k)
+    return _accumulate_plan_gather(ci, cpad, rules, plan, idx_arrays,
+                                   padvs, offs, ft, n_states, use_star)
+
+
 def _block_scores_v2(ci, yi, vi, iid, codes_a, yv_a, valid_a, n_real,
                      class_probs, *, algo, use_star, k, ft, n_states,
                      plan, seg_starts, seg_lens, match=None,
@@ -655,6 +771,70 @@ def _v2_layout(y, n, ti, algo, class_probs):
     return layout
 
 
+# Above this byte count a sorted/padded device copy of the code matrix
+# cannot coexist with the original in HBM — the streamed engine gathers
+# focal rows / class segments from the ORIGINAL instead.
+_DEVICE_SORT_BUDGET = 6 << 30
+
+
+def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
+                   *, algo, use_star, k, ti, ft):
+    """Huge-device-codes streamed v2: virtual sort via gathers, no copy."""
+    classes, perm, segments, block_class, _ = layout
+    cls_t = tuple(int(c) for c in classes)
+    n_cls = len(classes)
+    nb = -(-n // ti)
+    nf = p // ft
+    offs_l = [i * ft for i in range(nf)]
+    if p - nf * ft:
+        offs_l.append(p - ft)  # overlap window covers the ragged tail
+    offs = jnp.asarray(offs_l, jnp.int32)
+
+    yv = np.asarray(y_np, np.int32)
+    valid = np.ones((n,), np.float32)
+    idx_arrays = []
+    padvs = []
+    for s0, sl in segments:
+        L = _round_up(sl, 8)
+        idx = np.zeros((L,), np.int32)
+        idx[:sl] = perm[s0:s0 + sl]
+        pv = np.zeros((L,), np.int8)
+        pv[:sl] = 1
+        idx_arrays.append(jnp.asarray(idx))
+        padvs.append(jnp.asarray(pv))
+    idx_arrays = tuple(idx_arrays)
+    padvs = tuple(padvs)
+
+    plan_of = {}
+    for pos in set(block_class):
+        plan_of[pos] = tuple(
+            (spec, tuple(segs)) for spec, segs in
+            _plan_segments(algo, use_star, cls_t, pos))
+
+    cp = np.asarray(class_probs, np.float32)
+    out = np.zeros((len(offs_l), ft), np.float64)
+    for b in range(nb):
+        rows = perm[b * ti:(b + 1) * ti]
+        sidx = np.zeros((ti,), np.int32)
+        sidx[:len(rows)] = rows
+        yi = np.full((ti,), -1, np.int32)
+        yi[:len(rows)] = yv[rows]
+        vi = np.zeros((ti,), np.float32)
+        vi[:len(rows)] = 1.0
+        iid = sidx.copy()
+        out += np.asarray(_relief_discrete_block_v2g(
+            codes, yv, valid, jnp.asarray(sidx), jnp.asarray(yi),
+            jnp.asarray(vi), jnp.asarray(iid), np.float32(n), cp,
+            idx_arrays, padvs, offs, algo=algo, use_star=use_star,
+            k=int(k), ft=ft, n_states=int(n_states),
+            plan=plan_of[block_class[min(b, len(block_class) - 1)]]),
+            np.float32)
+    scores = np.zeros((p,), np.float64)
+    for i, off in enumerate(offs_l):
+        scores[off:off + ft] = out[i]
+    return scores.astype(np.float32)
+
+
 def _run_v2(codes, y, layout, n, p, n_states, class_probs,
             *, algo, use_star, k, ti, ft, device):
     """Class-sorted v2 execution: pick symmetric / monolithic / streamed
@@ -662,6 +842,13 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
     classes, perm, segments, block_class, n_pad = layout
     p_pad = _round_up(p, ft)
     y_np = np.asarray(y[:n], np.int32)
+
+    if (isinstance(codes, jax.Array)
+            and 2.2 * codes.size > _DEVICE_SORT_BUDGET and p >= ft):
+        return np.pad(_run_v2_gather(
+            codes, y_np, layout, n, p, n_states, class_probs,
+            algo=algo, use_star=use_star, k=k, ti=ti, ft=ft),
+            (0, p_pad - p))
 
     if isinstance(codes, jax.Array):
         gather_idx = np.zeros((n_pad,), np.int32)

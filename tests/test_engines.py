@@ -354,3 +354,38 @@ def test_pallas_interpret_smoke(rng):
     got = relief_pallas_scores(x, y, recip, disc, algo="multisurf",
                                interpret=True)
     assert_allclose(got, ref, atol=1e-5)
+
+
+def test_discrete_v2_gather_streamed_matches_generic(monkeypatch, rng):
+    """Huge-device-codes virtual-sort path (no sorted/padded copy): the
+    gather-mode engine must match the generic oracle, including a ragged
+    feature tail covered by the overlap window and a ragged last focal
+    block."""
+    import jax
+    import fastselect_tpu.ops.relief_discrete as RD
+    _force_v2(monkeypatch)
+    monkeypatch.setattr(RD, "_DEVICE_SORT_BUDGET", 1)  # force gather
+
+    n, p = 210, 37  # n not a ti-multiple, p not an ft-multiple
+    x = rng.randint(0, 3, (n, p)).astype(np.float32)
+    y = rng.randint(0, 3, n).astype(np.int32)
+    x[:, 2] = y % 3
+    cp = np.bincount(y, minlength=3).astype(np.float32) / n
+    for algo, star, k in [("multisurf", True, 0), ("surf", True, 0),
+                          ("relieff", False, 5)]:
+        ref = _generic_scores(x, y, np.ones(p, np.float32),
+                              np.ones(p, bool), algo, star, k, cp)
+        codes, s = encode_discrete(x)
+        got = relief_discrete_scores(
+            None, y, algo=algo, use_star=star, n_neighbors=k,
+            class_probs=cp, codes=jax.device_put(codes), n_states=s,
+            ti=64, ft=16)
+        # f32 accumulation-order noise only (same bound as the v1
+        # discrete test); the gather path is separately pinned to the
+        # sorted v2 path to ~1 ulp
+        assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+        assert_array_equal(np.argsort(got), np.argsort(ref))
+        sorted_v2 = relief_discrete_scores(
+            None, y, algo=algo, use_star=star, n_neighbors=k,
+            class_probs=cp, codes=codes, n_states=s, ti=64, ft=16)
+        assert_allclose(got, sorted_v2, atol=5e-7)
