@@ -26,7 +26,24 @@ FULL_REDUNDANCY_MAX_P = 8192
 
 def _encode_union(X: np.ndarray, y: np.ndarray):
     """Integer-encode X and y against their combined sorted vocabulary
-    (reference ``mRMR.py:9-27,90-92``)."""
+    (reference ``mRMR.py:9-27,90-92``).
+
+    Small-non-negative-integer data (the common genotype/categorical
+    case) takes an O(n*p) bincount path — identical codes to the sorted
+    vocabulary, without the O(n*p log(n*p)) ``np.unique`` sort that
+    dominates at GWAS p."""
+    if (np.issubdtype(X.dtype, np.integer)
+            and np.issubdtype(np.asarray(y).dtype, np.integer)):
+        xmin, xmax = int(X.min()), int(X.max())
+        ymin, ymax = int(np.min(y)), int(np.max(y))
+        lo, hi = min(xmin, ymin), max(xmax, ymax)
+        if lo >= 0 and hi < 1 << 16:
+            present = (np.bincount(X.ravel(), minlength=hi + 1) > 0) \
+                | (np.bincount(np.asarray(y).ravel(),
+                               minlength=hi + 1) > 0)
+            unique_vals = np.flatnonzero(present)
+            lut = np.cumsum(present).astype(np.int32) - 1
+            return lut[X], lut[np.asarray(y)], unique_vals
     unique_vals = np.unique(np.concatenate([np.unique(X), np.unique(y)]))
     X_enc = np.searchsorted(unique_vals, X).astype(np.int32)
     y_enc = np.searchsorted(unique_vals, y).astype(np.int32)

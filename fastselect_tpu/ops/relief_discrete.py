@@ -765,6 +765,8 @@ def _v2_layout(y, n, ti, algo, class_probs):
     if n < _V2_MIN_N:
         return None
     layout = _class_sorted_layout(y[:n], ti)
+    if len(layout[0]) > 16:
+        return None  # per-class specialised programs: cap compile count
     if algo == "relieff" and not np.array_equal(
             layout[0], np.arange(len(layout[0]))):
         return None  # per-class plans index class_probs by value

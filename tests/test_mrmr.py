@@ -162,3 +162,18 @@ def test_pairwise_stat_columns_match_matrix(rng):
     for j in (0, 7, 23):
         col = pairwise_stat_columns(X, X[:, j], 5, "mi", device=dev)
         np.testing.assert_allclose(col, mat[:, j], rtol=1e-6, atol=1e-9)
+
+
+def test_encode_union_bincount_path_matches_sorted(rng):
+    """The O(n*p) small-int encode must give identical codes/vocabulary
+    to the sorted-vocabulary path (reference mRMR.py:9-27 semantics)."""
+    from fastselect_tpu.models.mrmr import _encode_union
+
+    X = rng.choice([0, 2, 5, 9], (50, 12)).astype(np.int64)
+    y = rng.choice([1, 2], 50).astype(np.int64)
+    Xe_i, ye_i, vocab_i = _encode_union(X, y)
+    Xe_f, ye_f, vocab_f = _encode_union(X.astype(np.float64),
+                                        y.astype(np.float64))
+    np.testing.assert_array_equal(vocab_i, vocab_f)
+    np.testing.assert_array_equal(Xe_i, Xe_f)
+    np.testing.assert_array_equal(ye_i, ye_f)
