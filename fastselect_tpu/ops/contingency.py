@@ -173,6 +173,7 @@ class StagedColumnStats:
 
     def __init__(self, X_enc: np.ndarray, s: int, device=None,
                  log_base: float = math.log(2.0)):
+        import os
         from ..utils.backend import execution_context
 
         self.n, self.p = X_enc.shape
@@ -182,15 +183,25 @@ class StagedColumnStats:
         budget = (256 << 20) // 4
         self.tile = int(min(8192, max(8, budget // max(self.n * s, 1))))
         self.p_pad = _round_up(self.p, self.tile)
+        # >1 accelerator: round-robin the feature tiles across the mesh —
+        # every column statistic then computes its p-tiles in parallel
+        # (tiles are independent; the only comms is the tiny result)
+        self._devs = [device]
+        if (device is not None
+                and os.environ.get("FS_NO_AUTO_SHARD") != "1"):
+            devs = [d for d in jax.devices()
+                    if d.platform == device.platform]
+            if len(devs) > 1:
+                self._devs = devs
         # int8 staging when codes fit (4x less tunnel traffic)
         dt = np.int8 if s <= 127 else np.int32
         self._tiles = []
-        with execution_context(device):
-            for t0 in range(0, self.p_pad, self.tile):
-                blk = np.zeros((self.n, self.tile), dt)
-                end = min(t0 + self.tile, self.p)
-                if end > t0:
-                    blk[:, :end - t0] = X_enc[:, t0:end]
+        for i, t0 in enumerate(range(0, self.p_pad, self.tile)):
+            blk = np.zeros((self.n, self.tile), dt)
+            end = min(t0 + self.tile, self.p)
+            if end > t0:
+                blk[:, :end - t0] = X_enc[:, t0:end]
+            with execution_context(self._devs[i % len(self._devs)]):
                 self._tiles.append(jax.device_put(blk))
 
     def _reduce(self, tables, stat):
@@ -205,14 +216,21 @@ class StagedColumnStats:
         """stat(X_f, v) for every feature f against the 1-D codes v."""
         from ..utils.backend import execution_context
 
-        outs = []
-        with execution_context(self.device):
-            voh = jax.nn.one_hot(
-                jax.device_put(np.asarray(v_enc, np.int32)), s_v,
-                dtype=jnp.float32)
-            for xt in self._tiles:
-                tables = _staged_tables_tile(xt, voh, s_x=self.s, s_y=s_v)
-                outs.append(np.asarray(self._reduce(tables, stat)))
+        v32 = np.asarray(v_enc, np.int32)
+        vohs = {}
+        pending = []
+        for i, xt in enumerate(self._tiles):
+            dev = self._devs[i % len(self._devs)]
+            with execution_context(dev):
+                if id(dev) not in vohs:
+                    vohs[id(dev)] = jax.nn.one_hot(
+                        jax.device_put(v32), s_v, dtype=jnp.float32)
+                tables = _staged_tables_tile(xt, vohs[id(dev)],
+                                             s_x=self.s, s_y=s_v)
+                # async dispatch: every device's tiles run concurrently;
+                # the host pulls results only after all are queued
+                pending.append(self._reduce(tables, stat))
+        outs = [np.asarray(r) for r in pending]
         return np.concatenate(outs)[:self.p].astype(np.float64)
 
     def column(self, j: int, stat: str) -> np.ndarray:
@@ -220,21 +238,16 @@ class StagedColumnStats:
         from ..utils.backend import execution_context
 
         ti, off = divmod(int(j), self.tile)
-        outs = []
-        with execution_context(self.device):
-            voh = _staged_col_onehot(self._tiles[ti], off, s=self.s)
-            for xt in self._tiles:
-                tables = _staged_tables_tile(xt, voh, s_x=self.s,
-                                             s_y=self.s)
-                outs.append(np.asarray(self._reduce(tables, stat)))
-        return np.concatenate(outs)[:self.p].astype(np.float64)
+        with execution_context(self._devs[ti % len(self._devs)]):
+            # jitted slice (eager device ops are pathologically slow on
+            # some runtimes), tiny D2H of the n codes
+            col = np.asarray(_slice_col(self._tiles[ti], off), np.int32)
+        return self.stats_vs(col, self.s, stat)
 
 
-@partial(jax.jit, static_argnames=("s",))
-def _staged_col_onehot(xt, off, *, s):
-    return jax.nn.one_hot(
-        jax.lax.dynamic_slice_in_dim(xt, off, 1, axis=1)[:, 0]
-        .astype(jnp.int32), s, dtype=jnp.float32)
+@jax.jit
+def _slice_col(xt, off):
+    return jax.lax.dynamic_slice_in_dim(xt, off, 1, axis=1)[:, 0]
 
 
 @partial(jax.jit, static_argnames=("s_x", "s_y"))

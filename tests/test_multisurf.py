@@ -137,3 +137,19 @@ def test_single_class(simple_data):
 def test_min_samples():
     with pytest.raises(ValueError, match="at least 2 samples"):
         MultiSURF(n_features_to_select=1).fit(np.ones((1, 3)), np.zeros(1))
+
+
+def test_int_genotype_fast_path_matches_float_input(rng):
+    """Small-int X (genotypes) skips the float cast + encode sweep; raw
+    values are valid state codes (Hamming only tests equality), so the
+    model must be identical to the float-input fit."""
+    X = rng.randint(0, 3, (80, 40))
+    y = rng.randint(0, 2, 80)
+    m_int = MultiSURF(n_features_to_select=5, backend="cpu").fit(X, y)
+    m_float = MultiSURF(n_features_to_select=5,
+                        backend="cpu").fit(X.astype(np.float64), y)
+    np.testing.assert_array_equal(m_int.top_features_,
+                                  m_float.top_features_)
+    np.testing.assert_allclose(m_int.feature_importances_,
+                               m_float.feature_importances_, atol=1e-7)
+    assert m_int.is_discrete_.all()
