@@ -147,8 +147,8 @@ def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
     Xp[:, :p] = X_enc
     outs = []
     with execution_context(device):
-        yoh = jax.nn.one_hot(jax.device_put(np.asarray(y_enc, np.int32)),
-                             s_y, dtype=jnp.float32)
+        yoh = _onehot_target(jax.device_put(np.asarray(y_enc, np.int32)),
+                             s=s_y)
         for t0 in range(0, p_pad, tile):
             # uncommitted device_put: eager jnp.asarray takes a
             # catastrophically slower transfer path on some runtimes
@@ -223,8 +223,10 @@ class StagedColumnStats:
             dev = self._devs[i % len(self._devs)]
             with execution_context(dev):
                 if id(dev) not in vohs:
-                    vohs[id(dev)] = jax.nn.one_hot(
-                        jax.device_put(v32), s_v, dtype=jnp.float32)
+                    # jitted one-hot: eager device ops are pathologically
+                    # slow on some runtimes, and this runs per column
+                    vohs[id(dev)] = _onehot_target(
+                        jax.device_put(v32), s=s_v)
                 tables = _staged_tables_tile(xt, vohs[id(dev)],
                                              s_x=self.s, s_y=s_v)
                 # async dispatch: every device's tiles run concurrently;
@@ -248,6 +250,11 @@ class StagedColumnStats:
 @jax.jit
 def _slice_col(xt, off):
     return jax.lax.dynamic_slice_in_dim(xt, off, 1, axis=1)[:, 0]
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _onehot_target(v32, *, s):
+    return jax.nn.one_hot(v32, s, dtype=jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("s_x", "s_y"))

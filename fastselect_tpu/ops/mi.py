@@ -71,6 +71,17 @@ def _validated_setup(X, y, backend, unit, caller):
     return X_d, y_d, log_base, device, s
 
 
+def _relevance_vector(X_d, y_d, s, device, log_base):
+    """I(X_f; y) per feature from already-validated codes."""
+    from ..utils.backend import execution_context
+    tables = feature_target_tables(X_d, y_d, s, s, device)
+    with execution_context(device):
+        return np.asarray(
+            mi_tables_reduce(jnp.asarray(tables),
+                             np.float32(X_d.shape[0]), log_base),
+            dtype=np.float64)
+
+
 def calculate_mi_relevance(
     X: np.ndarray,
     y: np.ndarray,
@@ -84,15 +95,9 @@ def calculate_mi_relevance(
     ``ops.contingency.pairwise_stat_columns`` for redundancy columns on
     demand (memory-bounded mRMR greedy).
     """
-    from ..utils.backend import execution_context
     X_d, y_d, log_base, device, s = _validated_setup(
         X, y, backend, unit, "calculate_mi_relevance")
-    tables = feature_target_tables(X_d, y_d, s, s, device)
-    with execution_context(device):
-        return np.asarray(
-            mi_tables_reduce(jnp.asarray(tables),
-                             np.float32(X_d.shape[0]), log_base),
-            dtype=np.float64)
+    return _relevance_vector(X_d, y_d, s, device, log_base)
 
 
 def calculate_mi_matrices(
@@ -109,7 +114,7 @@ def calculate_mi_matrices(
     """
     X_d, y_d, log_base, device, s = _validated_setup(
         X, y, backend, unit, "calculate_mi_matrices")
-    relevance = calculate_mi_relevance(X, y, backend=backend, unit=unit)
+    relevance = _relevance_vector(X_d, y_d, s, device, log_base)
     redundancy = pairwise_stat_matrix(X_d, s, "mi", device=device,
                                       log_base=log_base)
     np.fill_diagonal(redundancy, 0.0)

@@ -172,14 +172,16 @@ def _accumulate_discrete(ci, codes_a, rules, ft, n_states,
 #
 # Every Relief rule's pair support lives inside ONE class of j-columns
 # (hits: the focal class; per-class misses: that class) or its
-# complement.  Sorting samples by class (each class segment padded to a
-# TI multiple, so every focal block is single-class) lets pass 2
-# contract each rule only over its support segment: total contraction
-# per focal row drops from R*n to exactly n columns (R = number of
-# rules) — 2x fewer MXU flops for MultiSURF, 3x for MultiSURF*, (C+1)x
-# for ReliefF.  Rules with exactly opposite row coefficients on the same
-# support (near/far pairs of the * variants) additionally combine into a
-# single {-1,0,1} int8 operand before the matmul.
+# complement.  Stable-sorting samples by class (NO extra padding —
+# n_pad stays the v1 value) makes almost every focal block single-class,
+# so pass 2 contracts each rule only over its support segment: total
+# contraction per focal row drops from R*n to exactly n columns (R =
+# number of rules) — 2x fewer MXU flops for MultiSURF, 3x for
+# MultiSURF*, (C+1)x for ReliefF.  The <= C-1 blocks straddling a class
+# boundary contract full-span instead.  Rules with exactly opposite row
+# coefficients on the same support (near/far pairs of the * variants)
+# additionally combine into a single {-1,0,1} int8 operand before the
+# matmul.
 # ---------------------------------------------------------------------------
 
 def _class_sorted_layout(y, ti):
@@ -320,8 +322,12 @@ def _accumulate_plan(ci, codes_a, rules, plan, seg_starts, seg_lens,
     sft = n_states * ft
 
     # accumulator dtype: int32 exactly when every entry is exact-int
-    # (SURF / SURF*, whose +/-1 signs live inside the operand)
-    all_int = all(spec in ("surf_hit", "surf_miss") for spec, _ in plan)
+    # (SURF / SURF*, whose +/-1 signs live inside the operand) AND the
+    # row-summed accumulations |t2| <= TI * n stay inside int32; beyond
+    # that fall back to f32 accumulation (each per-matmul q <= n is
+    # still exact int32)
+    all_int = (all(spec in ("surf_hit", "surf_miss") for spec, _ in plan)
+               and ti * n_pad < 2 ** 31)
     acc_dtype = _ACC_DTYPE if all_int else jnp.float32
     zero = jnp.int32(0) if all_int else jnp.float32(0.0)
 
@@ -410,7 +416,9 @@ def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
     n_raw = codes_a.shape[0]
     sft = n_states * ft
 
-    all_int = all(spec in ("surf_hit", "surf_miss") for spec, _ in plan)
+    # int32 accumulation bound: see _accumulate_plan
+    all_int = (all(spec in ("surf_hit", "surf_miss") for spec, _ in plan)
+               and ti * n_raw < 2 ** 31)
     acc_dtype = _ACC_DTYPE if all_int else jnp.float32
     zero = jnp.int32(0) if all_int else jnp.float32(0.0)
     operands = [(_plan_operand(spec, rules, use_star), segs)
@@ -654,8 +662,10 @@ def relief_discrete_core(codes_f, yv_f, valid_f, row0,
             D, yi, vi, iid, yv_a, valid_a, n_real, class_probs,
             algo=algo, use_star=use_star, k=k)
         # SURF's coefficients are exactly +/-1 -> exact int32 pass 2
+        # (bounded: |t2| <= TI * n must stay below int32 range)
+        exact = algo == "surf" and ti * codes_a.shape[0] < 2 ** 31
         return _accumulate_discrete(ci, codes_a, rules, ft, n_states,
-                                    exact_int=(algo == "surf"))
+                                    exact_int=exact)
 
     partials = jax.lax.map(per_block, jnp.arange(nf_focal // ti))
     return partials.sum(axis=0)
@@ -767,9 +777,15 @@ def _v2_layout(y, n, ti, algo, class_probs):
     layout = _class_sorted_layout(y[:n], ti)
     if len(layout[0]) > 16:
         return None  # per-class specialised programs: cap compile count
-    if algo == "relieff" and not np.array_equal(
-            layout[0], np.arange(len(layout[0]))):
-        return None  # per-class plans index class_probs by value
+    if algo == "relieff":
+        # per-class plans index rules[1 + c] by class VALUE; that needs
+        # classes 0..C-1 AND class_probs actually covering them (the
+        # op-level default class_probs=None yields a single dummy rule)
+        if class_probs is None or not np.array_equal(
+                layout[0], np.arange(len(layout[0]))):
+            return None
+        if np.asarray(class_probs).shape[0] < len(layout[0]):
+            return None
     return layout
 
 

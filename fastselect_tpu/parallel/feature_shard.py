@@ -132,11 +132,17 @@ def sharded_pairwise_stat_matrix(
     tile = int(min(tile, _round_up(max(p // ndev, 1), 8)))
     pb = _round_up(-(-p // ndev), tile)
     p_pad = pb * ndev
-    Xp = np.zeros((n, p_pad), np.int32)
+    # int8 staging when codes fit (4x less tunnel traffic), uncommitted
+    # device_put below — NEVER eager jnp.asarray (catastrophic transfer
+    # path through tunnelled runtimes)
+    dt = np.int8 if s <= 127 else np.int32
+    Xp = np.zeros((n, p_pad), dt)
     Xp[:, :p] = X_enc
 
     @partial(jax.jit, static_argnames=("s_", "stat_", "tile_"))
     def _run(xa, n_real, *, s_, stat_, tile_):
+        xa = xa.astype(jnp.int32)
+
         def pair_block(xi_oh, xj):
             xj_oh = jax.nn.one_hot(xj, s_, dtype=jnp.float32).reshape(
                 n, tile_ * s_)
@@ -175,8 +181,8 @@ def sharded_pairwise_stat_matrix(
             check_vma=False,
         )(xa, xa)
 
-    xa = jnp.asarray(Xp)
-    out = _run(xa, jnp.float32(n), s_=int(s), stat_=stat, tile_=tile)
+    xa = jax.device_put(Xp)
+    out = _run(xa, np.float32(n), s_=int(s), stat_=stat, tile_=tile)
     return np.asarray(out, np.float64)[:p, :p]
 
 

@@ -389,3 +389,16 @@ def test_discrete_v2_gather_streamed_matches_generic(monkeypatch, rng):
             None, y, algo=algo, use_star=star, n_neighbors=k,
             class_probs=cp, codes=codes, n_states=s, ti=64, ft=16)
         assert_allclose(got, sorted_v2, atol=5e-7)
+
+
+def test_v2_relieff_default_class_probs_falls_back(monkeypatch, rng):
+    """Op-level relieff with the default class_probs=None must not take
+    the per-class v2 plans (rules[1+c] would not exist) — it falls back
+    to the v1 path and matches it."""
+    import fastselect_tpu.ops.relief_discrete as RD
+    _force_v2(monkeypatch)
+    x = rng.randint(0, 3, (120, 15)).astype(np.float32)
+    y = rng.randint(0, 3, 120).astype(np.int32)
+    got = relief_discrete_scores(x, y, algo="relieff", n_neighbors=4)
+    assert np.isfinite(got).all()
+    assert RD._v2_layout(y, 120, 8, "relieff", None) is None
