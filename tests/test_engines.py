@@ -402,3 +402,14 @@ def test_v2_relieff_default_class_probs_falls_back(monkeypatch, rng):
     got = relief_discrete_scores(x, y, algo="relieff", n_neighbors=4)
     assert np.isfinite(got).all()
     assert RD._v2_layout(y, 120, 8, "relieff", None) is None
+
+
+def test_v2_bitwise_deterministic_across_runs(monkeypatch, rng):
+    """Fixed layout -> bitwise identical scores across runs (the race
+    guarantee of SURVEY §5 extends to the v2 engines)."""
+    _force_v2(monkeypatch)
+    x = rng.randint(0, 3, (300, 31)).astype(np.float32)
+    y = rng.randint(0, 2, 300).astype(np.int32)
+    a = relief_discrete_scores(x, y, algo="multisurf", ti=64)
+    b = relief_discrete_scores(x, y, algo="multisurf", ti=64)
+    assert_array_equal(a, b)
