@@ -339,6 +339,10 @@ def test_v2_mixed_boundary_blocks_match_generic(monkeypatch, rng):
     assert_array_equal(np.argsort(got), np.argsort(ref))
 
 
+@pytest.mark.skipif(_tpu_present(),
+                    reason="CPU-coverage smoke only — interpret mode "
+                    "through the TPU runtime is pathologically slow, and "
+                    "the real kernels are already tested above")
 def test_pallas_interpret_smoke(rng):
     """Minimal CPU coverage for the Pallas kernels via interpret mode
     (VERDICT r1: without this, a kernel regression only surfaces when
@@ -413,3 +417,22 @@ def test_v2_bitwise_deterministic_across_runs(monkeypatch, rng):
     a = relief_discrete_scores(x, y, algo="multisurf", ti=64)
     b = relief_discrete_scores(x, y, algo="multisurf", ti=64)
     assert_array_equal(a, b)
+
+
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="HBM-resident fit path needs a TPU")
+def test_device_int8_genotype_fit_matches_host(rng):
+    """int8 genotype matrices already in HBM (the GWAS staging idiom)
+    must fit identically to the host-array path."""
+    import jax
+    from fastselect_tpu import MultiSURF
+
+    n, p = 300, 96
+    X = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n)
+    X[:, 3] = (y * 2).astype(np.int8)
+    host = MultiSURF(n_features_to_select=8).fit(X, y)
+    dev = MultiSURF(n_features_to_select=8).fit(jax.device_put(X), y)
+    assert_array_equal(dev.top_features_, host.top_features_)
+    assert_allclose(dev.feature_importances_, host.feature_importances_,
+                    atol=1e-6)
