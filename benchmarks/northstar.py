@@ -2,9 +2,10 @@
 """BASELINE north-star reproduction: MultiSURF on a ~100k x 100k SNP
 matrix, single chip, X generated and kept HBM-resident.
 
-Shapes are exact (ti, ft) multiples so no padding copy of the 10 GB code
-matrix is ever made; scoring streams one focal block per dispatch
-(relief_discrete auto-streams at this scale).
+At this scale the engine takes the virtual-sort GATHER path (a sorted or
+padded copy of the 9.1 GiB code matrix cannot coexist with the original
+in HBM): focal blocks and class segments are gathered from the original
+array, so no copy is ever made and auto tile sizes apply.
 """
 
 from __future__ import annotations
@@ -42,8 +43,7 @@ def main(n=98304, p=99840, rows=6144):
     print(f"{n} x {p} genotypes resident "
           f"({n * p / 2**30:.1f} GiB int8)", flush=True)
 
-    kw = dict(algo="multisurf", codes=X, n_states=3, device=device,
-              ti=2048, ft=512)
+    kw = dict(algo="multisurf", codes=X, n_states=3, device=device)
     relief_discrete_scores(None, y, **kw)  # compile warm-up
     t0 = time.perf_counter()
     scores = relief_discrete_scores(None, y, **kw)

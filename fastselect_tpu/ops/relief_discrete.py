@@ -710,7 +710,11 @@ def _discrete_tile_sizes(n: int, p: int, n_states: int):
     ti = 4096 if n >= 4096 else _round_up(max(n, 1), 8)
     s = max(n_states, 2)
     budget = 128 * 1024 * 1024  # bytes for the (n, S*FT) one-hot tile
-    ft_max = max(128, min(8192, budget // max(n * s, 1)))
+    # floor at 1024: at GWAS n the budget formula under-sizes the tile
+    # and the dispatch/one-hot overhead dominates (north-star measured
+    # 44.6 s at ft=1024 vs 52.6 s at ft=512; ft >= 1536 regresses again)
+    ft_max = max(min(1024, _round_up(max(p, 1), 128)),
+                 min(8192, budget // max(n * s, 1)))
     p128 = _round_up(max(p, 1), 128)
     n_tiles = -(-p128 // ft_max)
     ft = _round_up(-(-p128 // n_tiles), 128)  # even tiles, < 128*n_tiles pad
