@@ -709,12 +709,14 @@ def _discrete_tile_sizes(n: int, p: int, n_states: int):
     """
     ti = 4096 if n >= 4096 else _round_up(max(n, 1), 8)
     s = max(n_states, 2)
-    budget = 128 * 1024 * 1024  # bytes for the (n, S*FT) one-hot tile
-    # floor at 1024: at GWAS n the budget formula under-sizes the tile
-    # and the dispatch/one-hot overhead dominates (north-star measured
-    # 44.6 s at ft=1024 vs 52.6 s at ft=512; ft >= 1536 regresses again)
-    ft_max = max(min(1024, _round_up(max(p, 1), 128)),
-                 min(8192, budget // max(n * s, 1)))
+    # Measured sweet spots (v5e): the symmetric engine zone prefers
+    # ft=2048 (16384x65536: 0.82 s vs 0.88 s at the old formula's 2688);
+    # the streamed/gather zone prefers ft=1024 (98kx100k: 44.6 s vs
+    # 52.6 s at 512, regression at >=1536; 30kx200k: 10.6 s vs 12.9 s at
+    # 1536).  A 1 GB one-hot-temp bound still shrinks ft at extreme n*S.
+    cap = 2048 if n <= _SYM_MAX_N else 1024
+    budget = 1 << 30
+    ft_max = min(cap, max(128, budget // max(n * s, 1)))
     p128 = _round_up(max(p, 1), 128)
     n_tiles = -(-p128 // ft_max)
     ft = _round_up(-(-p128 // n_tiles), 128)  # even tiles, < 128*n_tiles pad
