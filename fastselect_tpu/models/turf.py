@@ -78,8 +78,14 @@ class TuRF(TransformerMixin, BaseEstimator):
 
     def fit(self, X, y):
         """Run the iterative elimination loop."""
+        # small-int input (genotypes) keeps its dtype end to end: the
+        # wrapped Relief estimator's encode-free int8 fast path then
+        # applies to every iteration (no float64 copy of a GWAS matrix)
+        keep_int = (isinstance(X, np.ndarray)
+                    and np.issubdtype(X.dtype, np.integer))
         X, y = validate_data(
-            self, X, y, y_numeric=True, dtype=np.float64, ensure_2d=True,
+            self, X, y, y_numeric=True,
+            dtype="numeric" if keep_int else np.float64, ensure_2d=True,
         )
         self.n_features_in_ = X.shape[1]
         if not 0 < self.pct_remove < 1:
@@ -227,8 +233,17 @@ class TuRF(TransformerMixin, BaseEstimator):
         if backend not in ("auto", "tpu") or not tpu_available():
             return None
         limit = getattr(base, "discrete_limit", 10)
-        from ..utils.preprocessing import detect_discrete_features
-        is_disc = detect_discrete_features(X, limit)
+        # small-int X: every column is discrete by construction and raw
+        # values are valid state codes (injective per-column coding) —
+        # no discreteness probe, no float cast, no encode sweep
+        small_int = (np.issubdtype(np.asarray(X).dtype, np.integer)
+                     and X.size and int(np.min(X)) >= 0
+                     and int(np.max(X)) + 1 <= min(int(limit), 127))
+        if small_int:
+            is_disc = np.ones(X.shape[1], bool)
+        else:
+            from ..utils.preprocessing import detect_discrete_features
+            is_disc = detect_discrete_features(X, limit)
         if not is_disc.all():
             if not is_disc.any() and X.shape[0] <= 131072:
                 return self._make_fast_continuous_scorer(base, X, y)
@@ -255,7 +270,12 @@ class TuRF(TransformerMixin, BaseEstimator):
 
         resolve_backend(backend, "TuRF")  # raise early if tpu forced w/o
         device = default_device("tpu")
-        codes_np, n_states = encode_discrete(np.asarray(X, np.float32))
+        if small_int:
+            codes_np = np.asarray(X, np.int8)
+            n_states = int(np.max(X)) + 1
+        else:
+            codes_np, n_states = encode_discrete(
+                np.asarray(X, np.float32))
         with execution_context(device):
             codes_dev = jax.device_put(codes_np)  # uncommitted: fast path
 

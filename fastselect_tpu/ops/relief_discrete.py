@@ -704,17 +704,25 @@ def _relief_discrete_block(codes, yv, valid, b, n_real, class_probs,
 def _discrete_tile_sizes(n: int, p: int, n_states: int):
     """(TI focal block, FT feature tile).
 
-    TI >= 4096 keeps the MXU near peak (M-dim measurement above); FT is
-    sized so the (n_pad, S*FT) one-hot temporary stays ~128 MB.
+    TI >= 4096 keeps the MXU near peak (M-dim measurement above); FT
+    uses the measured per-zone sweet spots below, bounded so the
+    (n_pad, S*FT) one-hot temporary stays under ~1 GB.
     """
     ti = 4096 if n >= 4096 else _round_up(max(n, 1), 8)
     s = max(n_states, 2)
-    # Measured sweet spots (v5e): the symmetric engine zone prefers
-    # ft=2048 (16384x65536: 0.82 s vs 0.88 s at the old formula's 2688);
-    # the streamed/gather zone prefers ft=1024 (98kx100k: 44.6 s vs
-    # 52.6 s at 512, regression at >=1536; 30kx200k: 10.6 s vs 12.9 s at
-    # 1536).  A 1 GB one-hot-temp bound still shrinks ft at extreme n*S.
-    cap = 2048 if n <= _SYM_MAX_N else 1024
+    # Measured sweet spots (v5e): the symmetric engine prefers ft=2048
+    # (16384x65536: 0.82 s vs 0.88 s at the old formula's 2688); the
+    # streamed/gather engines prefer ft=1024 (98kx100k: 44.6 s vs
+    # 52.6 s at 512, regression at >=1536; 30kx200k: 10.6 s vs 12.9 s
+    # at 1536).  The zone test mirrors _run_v2's symmetric-engine gates
+    # (block count alone is not enough — huge-p fits stream even at
+    # small n).  A 1 GB one-hot-temp bound shrinks ft at extreme n*S.
+    n_pad_est = _round_up(max(n, 1), ti)
+    sym_zone = (n_pad_est <= _SYM_MAX_N
+                and n_pad_est * s * _round_up(max(p, 1), 128)
+                <= _SYM_ONEHOT_BYTES
+                and 4 * n_pad_est * n_pad_est <= _SYM_MATCH_BYTES)
+    cap = 2048 if sym_zone else 1024
     budget = 1 << 30
     ft_max = min(cap, max(128, budget // max(n * s, 1)))
     p128 = _round_up(max(p, 1), 128)

@@ -141,10 +141,13 @@ def sharded_pairwise_stat_matrix(
 
     @partial(jax.jit, static_argnames=("s_", "stat_", "tile_"))
     def _run(xa, n_real, *, s_, stat_, tile_):
-        xa = xa.astype(jnp.int32)
+        # int8 stays int8 in HBM; slices upcast per (n, tile) block just
+        # before their one-hot (a whole-array astype would materialise a
+        # replicated int32 copy, 4x the staged memory)
 
         def pair_block(xi_oh, xj):
-            xj_oh = jax.nn.one_hot(xj, s_, dtype=jnp.float32).reshape(
+            xj_oh = jax.nn.one_hot(xj.astype(jnp.int32), s_,
+                                   dtype=jnp.float32).reshape(
                 n, tile_ * s_)
             counts = jax.lax.dot_general(
                 xi_oh, xj_oh,
@@ -159,7 +162,8 @@ def sharded_pairwise_stat_matrix(
             def over_i(i):
                 Xi = jax.lax.dynamic_slice(xi_shard, (0, i * tile_),
                                            (n, tile_))
-                xi_oh = jax.nn.one_hot(Xi, s_, dtype=jnp.float32).reshape(
+                xi_oh = jax.nn.one_hot(Xi.astype(jnp.int32), s_,
+                                       dtype=jnp.float32).reshape(
                     n, tile_ * s_)
 
                 def over_j(j):

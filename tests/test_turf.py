@@ -190,3 +190,26 @@ def test_load_state_midrun_resumes_next_fit(data, tmp_path):
     reference = TuRF(MockScorer(), **kw).fit(X, y)
     t = TuRF(MockScorer(), **kw).load_state(state).fit(X, y)
     assert_array_equal(t.top_features_, reference.top_features_)
+
+
+def test_turf_keeps_small_int_dtype(data):
+    """Small-int genotype X must flow through TuRF without a float64
+    copy (the wrapped Relief estimator's encode-free path applies)."""
+    X, y = data
+    Xi = (X * 3).astype(np.int8)
+
+    class DtypeSpy(MockScorer):
+        seen = []
+
+        def fit(self, X, y):
+            DtypeSpy.seen.append(X.dtype)
+            return super().fit(X, y)
+
+    TuRF(DtypeSpy(), n_features_to_select=4, pct_remove=0.25).fit(Xi, y)
+    assert all(np.issubdtype(d, np.integer) for d in DtypeSpy.seen)
+
+    ref = TuRF(MockScorer(), n_features_to_select=4,
+               pct_remove=0.25).fit(Xi.astype(np.float64), y)
+    t = TuRF(MockScorer(), n_features_to_select=4,
+             pct_remove=0.25).fit(Xi, y)
+    np.testing.assert_array_equal(t.top_features_, ref.top_features_)
