@@ -18,6 +18,10 @@ Run: ``python examples/gwas_workflow.py [--n 20000] [--p 50000]``
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, ".")  # run from a checkout without installing
+
 import argparse
 import time
 

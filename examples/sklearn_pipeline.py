@@ -4,6 +4,10 @@ shows the same pattern with fast_select)."""
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, ".")  # run from a checkout without installing
+
 import numpy as np
 from sklearn.datasets import make_classification
 from sklearn.linear_model import LogisticRegression
