@@ -22,6 +22,12 @@ from ..utils.preprocessing import (detect_discrete_features,
 
 
 @functools.cache
+def _pallas_max_n():
+    from ..ops.relief_pallas import PALLAS_MAX_N
+    return PALLAS_MAX_N
+
+
+@functools.cache
 def _jitted_nan_check():
     """Module-level jitted NaN probe so repeated device-resident fits hit
     the jit cache (a per-call lambda would retrace every fit)."""
@@ -92,6 +98,10 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         analysis = fast if fast is not None else self._analyze(X)
         self.is_discrete_ = analysis.is_discrete
 
+        if analysis.x_dev is not None and n_samples <= _pallas_max_n():
+            # all-continuous TPU-bound fit: the analysis sweep already
+            # staged X on device — score from that copy (single upload)
+            X = analysis.x_dev
         scores = self._score(X, y, analysis, n_select)
         if scores is None:  # algorithm-specific early-out already populated
             return self

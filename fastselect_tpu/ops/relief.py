@@ -436,7 +436,8 @@ def relief_scores(
                 x, y, recip, is_discrete, algo=algo, use_star=use_star,
                 n_neighbors=n_neighbors, class_probs=class_probs,
                 device=device, codes=codes, n_states=n_states or None)
-        if n <= 131072:
+        from .relief_pallas import PALLAS_MAX_N
+        if n <= PALLAS_MAX_N:
             # Pure-continuous on a real chip: fused Pallas kernels
             # (VMEM-resident diff tiles, VPU-bound); above ~16k samples
             # focal super-blocks stream so only (nb, n) distance/weight

@@ -41,6 +41,10 @@ from .relief import pair_weight_rules, _sum_rules, _round_up
 
 _SB = 8  # focal-row sub-batch (f32 sublane count)
 
+# Above this sample count the blocked super-block path's single lax.map
+# dispatch gets too long; callers stream through the generic engine.
+PALLAS_MAX_N = 131072
+
 
 def _mixed_diff(a, xj, recip, disc):
     """(SB, TJ, FT) mixed diff: Hamming where disc > 0, else |d| * recip."""

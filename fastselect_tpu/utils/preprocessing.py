@@ -63,6 +63,11 @@ class FeatureAnalysis:
     recip: np.ndarray                # (p,) f32, 1/range with zero guard
     codes: np.ndarray | None = None  # (n, p) int8 ranks (discrete cols)
     n_states: int = 0                # max cardinality over discrete cols
+    x_dev: object | None = None      # (n, p) f32 device-resident X, kept
+    #                                  from the analysis sweep when every
+    #                                  column is continuous — the engine
+    #                                  consumes it directly so host X is
+    #                                  uploaded exactly once per fit
 
 
 # Module-level jitted helpers: defining these inside the analyze
@@ -112,6 +117,12 @@ def _auto_f_chunk(n: int) -> int:
     return int(min(1 << 19, max(8192, budget // max(n, 1) // 8192 * 8192)))
 
 
+# Keep the analysis sweep's device chunks (for single-upload continuous
+# fits) only while the full f32 matrix fits comfortably next to the
+# engine's own padded copy.
+_XDEV_BUDGET_BYTES = 4 << 30
+
+
 def analyze_features_device(x: np.ndarray, discrete_limit: int,
                             f_chunk: int | None = None) -> FeatureAnalysis:
     """One device sweep computing discreteness, ranges, AND discrete state
@@ -121,8 +132,11 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     loop (``MultiSURF.py:416-420``) — a real hotspot at GWAS scale
     (SURVEY.md §7).  Here each (n, f_chunk) chunk is sorted once on
     device; cardinality, range, and rank codes all come from that one
-    sort.  Continuous columns get capped (meaningless) codes that the
-    engines never read.
+    sort.  Chunks with no discrete column skip the encode (and its D2H
+    copy) entirely, and when the WHOLE matrix turns out continuous the
+    uploaded f32 chunks are kept and assembled into a device-resident X
+    (``FeatureAnalysis.x_dev``) so the engine never re-uploads — host
+    continuous data crosses the host↔device boundary exactly once.
     """
     import jax
 
@@ -133,6 +147,7 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     codes = np.empty((n, p), np.int8)
     is_disc = np.empty(p, bool)
     rng = np.empty(p, np.float32)
+    keep: list | None = ([] if n * p * 4 <= _XDEV_BUDGET_BYTES else None)
 
     n_states = 1
     for f0 in range(0, p, f_chunk):
@@ -143,15 +158,56 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
         d = nu <= discrete_limit
         is_disc[f0:f0 + f_chunk] = d
         rng[f0:f0 + f_chunk] = np.asarray(rg)
-        s_chunk = int(min(int(nu.max(initial=1)), discrete_limit))
-        codes[:, f0:f0 + f_chunk] = np.asarray(
-            encode(xc, xs, newv, s=max(s_chunk, 1)))
         if d.any():
+            s_chunk = int(min(int(nu.max(initial=1)), discrete_limit))
+            codes[:, f0:f0 + f_chunk] = np.asarray(
+                encode(xc, xs, newv, s=max(s_chunk, 1)))
             n_states = max(n_states, int(nu[d].max()))
+            keep = None  # mixed data takes the host hybrid path
+        elif keep is not None:
+            keep.append((f0, xc))
 
     rng[rng == 0] = 1.0
-    return FeatureAnalysis(is_disc, (1.0 / rng).astype(np.float32),
-                           codes, n_states)
+    recip = (1.0 / rng).astype(np.float32)
+    if not is_disc.any():
+        # nothing was encoded: hand back the staged device X (if kept)
+        # and no codes at all
+        return FeatureAnalysis(is_disc, recip, None, 1,
+                               x_dev=_assemble_x_dev(keep, n, p))
+    return FeatureAnalysis(is_disc, recip, codes, n_states)
+
+
+def _assemble_x_dev(keep, n: int, p: int):
+    """Concatenate kept analysis chunks into one (n, p) device array."""
+    if not keep:
+        return None
+    if len(keep) == 1:
+        return keep[0][1]
+    zeros, upd = _jitted_xdev_helpers()
+    buf = zeros(n=n, p=p)
+    for f0, xc in keep:
+        buf = upd(buf, xc, np.int32(f0))
+    return buf
+
+
+_xdev_helpers = None
+
+
+def _jitted_xdev_helpers():
+    global _xdev_helpers
+    if _xdev_helpers is None:
+        import jax
+        import jax.numpy as jnp
+
+        def _zeros(*, n, p):
+            return jnp.zeros((n, p), jnp.float32)
+
+        def _upd(buf, xc, f0):
+            return jax.lax.dynamic_update_slice(buf, xc, (0, f0))
+
+        _xdev_helpers = (jax.jit(_zeros, static_argnames=("n", "p")),
+                         jax.jit(_upd, donate_argnums=(0,)))
+    return _xdev_helpers
 
 
 def analyze_features_device_array(x, discrete_limit: int,

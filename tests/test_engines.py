@@ -436,3 +436,25 @@ def test_device_int8_genotype_fit_matches_host(rng):
     assert_array_equal(dev.top_features_, host.top_features_)
     assert_allclose(dev.feature_importances_, host.feature_importances_,
                     atol=1e-6)
+
+
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="single-upload staging path needs a TPU")
+def test_single_upload_staged_fit_consistent(rng):
+    """A host continuous X big enough to trigger the device analysis
+    sweep (>= 2^22 elements) is staged on device during analysis
+    (FeatureAnalysis.x_dev) and scored from that copy with no second
+    upload; the result must match the generic XLA engine."""
+    from fastselect_tpu import MultiSURF
+
+    n, p = 300, 16384  # 4.9M elements -> analyze_features_device path
+    x = rng.rand(n, p).astype(np.float32)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    est = MultiSURF(n_features_to_select=8).fit(x, y)
+    recip = (1.0 / (x.max(axis=0) - x.min(axis=0))).astype(np.float32)
+    import jax
+    dev = next(d for d in jax.devices() if d.platform != "cpu")
+    ref = relief_pallas_scores(x, y, recip, np.zeros(p, bool),
+                               algo="multisurf", device=dev)
+    # same kernels, same tiling — staging must not change the math
+    assert_allclose(est.feature_importances_, ref, atol=1e-6)

@@ -1,0 +1,64 @@
+"""Unit tests for the device analysis sweep (`utils/preprocessing.py`).
+
+The sweep replaces the reference's per-column host ``np.unique`` probe
+(``MultiSURF.py:416-420``) and additionally stages continuous X on
+device so the engine never re-uploads (single-upload fits).
+"""
+
+import numpy as np
+import pytest
+
+from fastselect_tpu.utils import preprocessing as pp
+
+
+def test_device_sweep_continuous_stages_x_and_skips_codes(rng):
+    x = rng.rand(64, 300).astype(np.float32) * 5.0
+    an = pp.analyze_features_device(x, discrete_limit=10, f_chunk=128)
+    assert not an.is_discrete.any()
+    assert an.codes is None
+    assert an.x_dev is not None
+    np.testing.assert_allclose(np.asarray(an.x_dev), x, rtol=1e-6)
+    # ranges match the host probe
+    np.testing.assert_allclose(
+        an.recip, pp.compute_recip_ranges(x), rtol=1e-6)
+
+
+def test_device_sweep_single_chunk_reuses_upload(rng):
+    x = rng.rand(16, 100).astype(np.float32)
+    an = pp.analyze_features_device(x, discrete_limit=5, f_chunk=1024)
+    assert an.x_dev is not None
+    np.testing.assert_allclose(np.asarray(an.x_dev), x, rtol=1e-6)
+
+
+def test_device_sweep_mixed_returns_codes_not_xdev(rng):
+    x = rng.rand(32, 64).astype(np.float32)
+    x[:, :16] = rng.randint(0, 3, (32, 16))  # discrete block first
+    an = pp.analyze_features_device(x, discrete_limit=10, f_chunk=16)
+    assert an.is_discrete[:16].all() and not an.is_discrete[16:].any()
+    assert an.x_dev is None
+    assert an.codes is not None
+    # discrete columns carry valid rank codes
+    for f in range(16):
+        col = an.codes[:, f]
+        vals = np.unique(x[:, f])
+        expect = np.searchsorted(vals, x[:, f])
+        np.testing.assert_array_equal(col, expect)
+    assert an.n_states == 3
+
+
+def test_device_sweep_budget_gate(monkeypatch, rng):
+    monkeypatch.setattr(pp, "_XDEV_BUDGET_BYTES", 100)
+    x = rng.rand(16, 64).astype(np.float32)
+    an = pp.analyze_features_device(x, discrete_limit=5, f_chunk=32)
+    assert an.x_dev is None  # too big to stage; still analysed correctly
+    assert not an.is_discrete.any()
+
+
+def test_device_sweep_discrete_matches_host_probe(rng):
+    x = rng.randint(0, 4, (40, 32)).astype(np.float32)
+    an = pp.analyze_features_device(x, discrete_limit=10, f_chunk=8)
+    assert an.is_discrete.all()
+    assert an.x_dev is None
+    assert an.n_states == 4
+    np.testing.assert_array_equal(
+        an.is_discrete, pp.detect_discrete_features(x, 10))
