@@ -40,10 +40,12 @@ HYBRID_MAX_N = 131072
 
 
 @partial(jax.jit, static_argnames=("algo", "use_star", "k",
-                                   "ti", "tj", "ftc", "ftd", "s"))
+                                   "ti", "tj", "ftc", "ftd", "s",
+                                   "v2_plans", "segs_t", "lens_t"))
 def _hybrid_engine(xc, codes_d, yv, valid, recip2, disc2,
                    n_real, class_probs,
-                   *, algo, use_star, k, ti, tj, ftc, ftd, s):
+                   *, algo, use_star, k, ti, tj, ftc, ftd, s,
+                   v2_plans=None, segs_t=None, lens_t=None):
     n_pad = xc.shape[0]
     p_d_pad = codes_d.shape[1]
     # pass 1: continuous part (Pallas, VPU) + discrete part (MXU)
@@ -57,7 +59,21 @@ def _hybrid_engine(xc, codes_d, yv, valid, recip2, disc2,
         algo=algo, use_star=use_star, k=k)
 
     # pass 2, each part on its own unit
-    s_d = _accumulate_discrete(codes_d, codes_d, rules, ftd, s)
+    if v2_plans is None:
+        s_d = _accumulate_discrete(codes_d, codes_d, rules, ftd, s)
+    else:
+        # class-sorted rows: the discrete half contracts each rule only
+        # over its support segment, exactly like the v2 single-chip
+        # engine (relief_discrete._accumulate_plan)
+        from .relief_discrete import _accumulate_plan
+        s_d = jnp.zeros((p_d_pad,), jnp.float32)
+        for pos, plan in enumerate(v2_plans):
+            s0, sl = segs_t[pos], lens_t[pos]
+            ci = codes_d[s0:s0 + sl]
+            rules_c = [(m[s0:s0 + sl], r[s0:s0 + sl]) for m, r in rules]
+            s_d = s_d + _accumulate_plan(
+                ci, codes_d, rules_c, plan, segs_t, lens_t, ftd, s,
+                use_star)
     W = _sum_rules(rules)
     s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc)
     return s_c, s_d
@@ -119,6 +135,7 @@ def relief_hybrid_scores(
     ``analyze_features_device``); only its discrete columns are read.
     """
     from ..utils.backend import execution_context
+    from . import relief_discrete as rd
     from .relief_discrete import encode_discrete
 
     n, p = x.shape
@@ -134,6 +151,24 @@ def relief_hybrid_scores(
         if n_states is None:
             n_states = int(codes_d.max()) + 1
     n_states = max(int(n_states), 1)
+
+    # class-sorted rows for the square path: the discrete half then runs
+    # the segment-restricted v2 pass 2 (feature scores are
+    # row-permutation-invariant; the blocked large-n path keeps v1,
+    # whose focal super-blocks would straddle class boundaries)
+    v2_plans = segs_t = lens_t = None
+    layout = (None if n > HYBRID_SQUARE_MAX_N
+              else rd._v2_layout(np.asarray(y), n, 8, algo, class_probs))
+    if layout is not None:
+        classes, perm, segments, _, _ = layout
+        x = np.asarray(x)[perm]
+        y = np.asarray(y, np.int32)[perm]
+        codes_d = codes_d[perm]
+        cls_t = tuple(int(c) for c in classes)
+        v2_plans = tuple(
+            tuple((spec, tuple(sg)) for spec, sg in
+                  rd._plan_segments(algo, use_star, cls_t, pos))
+            for pos in range(len(classes)))
 
     # padded layouts: the sample axis must satisfy the Pallas tiling
     n_pad0 = _round_up(max(n, _SB), _SB)
@@ -162,6 +197,12 @@ def relief_hybrid_scores(
               ti=ti, tj=tj, ftc=ftc, ftd=ftd, s=n_states)
     nb = (n_pad if n_pad <= HYBRID_SQUARE_MAX_N
           else _focal_block_rows(n_pad, max(ti, tj)))
+    if v2_plans is not None and nb == n_pad:
+        segs_all = list(segments) + [(0, n_pad)]
+        segs_t = tuple(int(s0) for s0, _ in segs_all)
+        lens_t = tuple(int(sl) for _, sl in segs_all)
+    else:
+        v2_plans = None
     with execution_context(device):
         if device is not None and device.platform != "cpu":
             xc = jax.device_put(xc)
@@ -169,7 +210,8 @@ def relief_hybrid_scores(
         if nb == n_pad:
             s_c, s_d = _hybrid_engine(
                 xc, cd, yv, valid, recip2, disc2,
-                np.float32(n), np.asarray(class_probs, np.float32), **kw)
+                np.float32(n), np.asarray(class_probs, np.float32),
+                v2_plans=v2_plans, segs_t=segs_t, lens_t=lens_t, **kw)
         else:
             s_c, s_d = _hybrid_engine_blocked(
                 xc, cd, yv, valid, recip2, disc2,

@@ -40,7 +40,18 @@ def feature_sharded_relief_discrete_scores(
     devices=None,
     mesh: Mesh | None = None,
 ) -> np.ndarray:
-    """All-discrete Relief scores with the feature axis sharded."""
+    """All-discrete Relief scores with the feature axis sharded.
+
+    When the class-sorted v2 layout applies, rows are sorted by class
+    host-side (feature scores are row-permutation-invariant) and pass 2
+    runs segment-restricted per class: each class's focal rows contract
+    their hit rule only over that class's j-segment and their miss rules
+    only over the other classes' segments — the same flop reduction the
+    single-chip v2 engine gets (``relief_discrete._accumulate_plan``),
+    entirely local to each feature shard.
+    """
+    from ..ops import relief_discrete as rd
+
     n, p = codes.shape
     if n_states is None:
         n_states = int(np.max(codes)) + 1
@@ -51,6 +62,23 @@ def feature_sharded_relief_discrete_scores(
 
     _, ft = _discrete_tile_sizes(n, max(p // ndev, 1), n_states)
     n_pad = _round_up(n, 8)
+
+    layout = (None if isinstance(codes, jax.Array)
+              else rd._v2_layout(np.asarray(y), n, 8, algo, class_probs))
+    v2_plans = None
+    if layout is not None:
+        classes, perm, segments, _, n_pad = layout
+        codes = np.asarray(codes, np.int8)[perm]
+        y = np.asarray(y, np.int32)[perm]
+        cls_t = tuple(int(c) for c in classes)
+        segs_all = list(segments) + [(0, n_pad)]
+        segs_t = tuple(int(s0) for s0, _ in segs_all)
+        lens_t = tuple(int(sl) for _, sl in segs_all)
+        v2_plans = tuple(
+            tuple((spec, tuple(sg)) for spec, sg in
+                  rd._plan_segments(algo, use_star, cls_t, pos))
+            for pos in range(len(classes)))
+
     # feature shard: equal ft-aligned slices per device
     pb = _round_up(-(-p // ndev), ft)
     p_pad = pb * ndev
@@ -62,11 +90,11 @@ def feature_sharded_relief_discrete_scores(
     valid[:n] = 1.0
     if class_probs is None:
         class_probs = np.zeros((1,), np.float32)
+    k = int(n_neighbors)
+    s = int(n_states)
 
-    @partial(jax.jit,
-             static_argnames=("algo", "use_star", "k", "ft", "s"))
-    def _run(cpad_a, yv_a, valid_a, n_real, cp,
-             *, algo, use_star, k, ft, s):
+    @jax.jit
+    def _run(cpad_a, yv_a, valid_a, n_real, cp):
         def local_fn(c_shard, y_a, v_a, nr, cpl):
             # c_shard: (n_pad, pb) — this device's feature slice.
             # Partial mismatches over MY features; psum makes it total.
@@ -78,7 +106,21 @@ def feature_sharded_relief_discrete_scores(
             rules = pair_weight_rules(
                 D, y_a, v_a, iid, y_a, v_a, nr, cpl,
                 algo=algo, use_star=use_star, k=k)
-            part = _accumulate_discrete(c_shard, c_shard, rules, ft, s)
+            if v2_plans is None:
+                part = _accumulate_discrete(c_shard, c_shard, rules,
+                                            ft, s)
+            else:
+                # pass 2 restricted per class: sorted rows make each
+                # class a static focal slice with a single-class plan
+                part = jnp.zeros((pb,), jnp.float32)
+                for pos, plan in enumerate(v2_plans):
+                    s0, sl = segs_t[pos], lens_t[pos]
+                    ci = c_shard[s0:s0 + sl]
+                    rules_c = [(m[s0:s0 + sl], r[s0:s0 + sl])
+                               for m, r in rules]
+                    part = part + rd._accumulate_plan(
+                        ci, c_shard, rules_c, plan, segs_t, lens_t,
+                        ft, s, use_star)
             # per-shard totalW term is already correct: padded features
             # inside the shard cancel exactly as in the single-chip case
             return jax.lax.all_gather(part, axis, tiled=True)
@@ -91,9 +133,7 @@ def feature_sharded_relief_discrete_scores(
         )(cpad_a, yv_a, valid_a, n_real, cp)
 
     scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
-                  np.float32(n), jnp.asarray(class_probs, jnp.float32),
-                  algo=algo, use_star=use_star, k=int(n_neighbors),
-                  ft=ft, s=int(n_states))
+                  np.float32(n), jnp.asarray(class_probs, jnp.float32))
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
 
 

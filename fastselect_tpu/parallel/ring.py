@@ -36,6 +36,55 @@ from ..ops.relief_discrete import (_match_rows, _accumulate_discrete,
                                    _discrete_tile_sizes)
 
 
+def _ring_rule_groups(algo, use_star, n_classes):
+    """Rule-index groups sharing one j-support kind.
+
+    'same' rules touch only j-columns of the focal row's own class,
+    'other' rules only the remaining classes, ('cls', c) exactly class c
+    (the rule-list positions mirror ``relief.pair_weight_rules``)."""
+    if algo == "multisurf":
+        return [("same", (0,)),
+                ("other", (1, 2) if use_star else (1,))]
+    if algo == "surf":
+        return [("same", (1, 2) if use_star else (1,)),
+                ("other", (0, 3) if use_star else (0,))]
+    return ([("same", (0,))]
+            + [(("cls", c), (1 + c,)) for c in range(n_classes)])
+
+
+def _ring_skip_table(groups, segments, n, nb, ndev):
+    """(n_groups, ndev, ndev) int8: does ring step ``owner``'s block hold
+    any j-column that group ``g``'s rules can select for device ``me``'s
+    focal rows?  Built host-side from the class-sorted segment bounds —
+    zero entries let sweep 2 skip the whole contraction."""
+    n_cls = len(segments)
+
+    def seg_overlaps(seg_list, o):
+        lo, hi = o * nb, (o + 1) * nb
+        return any(s0 < hi and s0 + sl > lo for s0, sl in seg_list)
+
+    cls_of_dev = []
+    for d in range(ndev):
+        lo, hi = d * nb, min((d + 1) * nb, n)
+        cls_of_dev.append({c for c, (s0, sl) in enumerate(segments)
+                           if s0 < hi and s0 + sl > lo})
+    tbl = np.zeros((len(groups), ndev, ndev), np.int8)
+    for g, (kind, _idxs) in enumerate(groups):
+        for d in range(ndev):
+            if kind == "same":
+                sup = cls_of_dev[d]
+            elif kind == "other":
+                sup = set()
+                for a in cls_of_dev[d]:
+                    sup |= {c for c in range(n_cls) if c != a}
+            else:
+                sup = {kind[1]} if cls_of_dev[d] else set()
+            segs_sup = [segments[c] for c in sup]
+            for o in range(ndev):
+                tbl[g, d, o] = seg_overlaps(segs_sup, o)
+    return tbl
+
+
 def ring_relief_discrete_scores(
     codes: np.ndarray,
     y: np.ndarray,
@@ -48,7 +97,17 @@ def ring_relief_discrete_scores(
     devices=None,
     mesh: Mesh | None = None,
 ) -> np.ndarray:
-    """All-discrete Relief scores with ring-rotated sample blocks."""
+    """All-discrete Relief scores with ring-rotated sample blocks.
+
+    When the class-sorted v2 layout applies, rows are sorted by class
+    host-side and sweep 2 consults a per-(rule-group, me, owner) skip
+    table: a ring step whose in-flight block holds no j-column in the
+    group's support segments skips that contraction entirely
+    (``lax.cond``) — the ring-layout form of the v2 segment
+    restriction (single-class devices run ~1/R of the pass-2 matmuls).
+    """
+    from ..ops import relief_discrete as rd
+
     n, p = codes.shape
     if n_states is None:
         n_states = int(np.max(codes)) + 1
@@ -62,6 +121,18 @@ def ring_relief_discrete_scores(
     nb = _round_up(-(-n // ndev), 8)
     n_pad = nb * ndev
     p_pad = _round_up(p, ft)
+
+    layout = (None if isinstance(codes, jax.Array)
+              else rd._v2_layout(np.asarray(y), n, 8, algo, class_probs))
+    if layout is not None:
+        classes, perm, segments, _, _ = layout
+        codes = np.asarray(codes, np.int8)[perm]
+        y = np.asarray(y, np.int32)[perm]
+        groups = _ring_rule_groups(algo, use_star, len(classes))
+        skip_tbl = _ring_skip_table(groups, segments, n, nb, ndev)
+    else:
+        groups, skip_tbl = None, None
+
     cpad = np.zeros((n_pad, p_pad), np.int8)
     cpad[:n, :p] = codes
     yv = np.full((n_pad,), -1, np.int32)
@@ -106,14 +177,34 @@ def ring_relief_discrete_scores(
                 algo=algo, use_star=use_star, k=k)
 
             # sweep 2: rotate blocks again, contracting the mask columns
-            # of the in-flight block against its one-hot states
+            # of the in-flight block against its one-hot states; with a
+            # skip table, rule groups whose support segments miss the
+            # in-flight block skip their contraction entirely
+            tbl_j = (None if skip_tbl is None
+                     else jnp.asarray(skip_tbl, jnp.int8))
+
             def sweep2(carry, _t):
                 blk, owner, part = carry
-                sub_rules = [
-                    (jax.lax.dynamic_slice(m, (0, owner * nb), (nb, nb)),
-                     r) for m, r in rules]
-                part = part + _accumulate_discrete(
-                    c_blk, blk, sub_rules, ft, s)
+
+                def sub(idxs):
+                    return [(jax.lax.dynamic_slice(
+                        rules[i][0], (0, owner * nb), (nb, nb)),
+                        rules[i][1]) for i in idxs]
+
+                if tbl_j is None:
+                    part = part + _accumulate_discrete(
+                        c_blk, blk, sub(range(len(rules))), ft, s)
+                else:
+                    for g, (_kind, idxs) in enumerate(groups):
+                        sub_g = sub(idxs)
+
+                        def do(blk=blk, sub_g=sub_g):
+                            return _accumulate_discrete(
+                                c_blk, blk, sub_g, ft, s)
+
+                        part = part + jax.lax.cond(
+                            tbl_j[g, me, owner] > 0, do,
+                            lambda: jnp.zeros((p_pad,), jnp.float32))
                 nxt = jax.lax.ppermute(blk, axis, perm)
                 nxt_owner = (owner - 1) % ndev
                 return (nxt, nxt_owner, part), None

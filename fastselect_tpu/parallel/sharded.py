@@ -128,6 +128,93 @@ def sharded_multisurf_scores(x, y, recip, is_discrete, *, devices=None,
         devices=devices)
 
 
+def _sharded_discrete_v2(codes, y, layout, n, p, n_states, class_probs,
+                         mesh, *, algo, use_star, k, ti, ft):
+    """Class-sorted, segment-restricted sample-shard engine.
+
+    The focal blocks of the sorted layout carry per-class static matmul
+    plans (``relief_discrete._plan_segments``), so the v2 pass-2
+    restriction — contract each rule only over its support segment —
+    runs on every chip.  Blocks of each plan group are dealt round-robin
+    to devices (block order is irrelevant: partials sum), giving every
+    device the same per-group slot count; imbalance slots repeat a block
+    with weight 0 so the traced program is uniform across the mesh.
+    """
+    from ..ops import relief_discrete as rd
+
+    ndev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    classes, perm, segments, block_class, n_pad = layout
+    p_pad = _round_up(p, ft)
+    y_np = np.asarray(y, np.int32)
+    cpad, yv, valid = rd._apply_layout_host(
+        np.asarray(codes, np.int8), y_np, perm, n_pad, p_pad)
+
+    cls_t = tuple(int(c) for c in classes)
+    plan_of = {pos: tuple((spec, tuple(segs)) for spec, segs in
+                          rd._plan_segments(algo, use_star, cls_t, pos))
+               for pos in set(block_class)}
+    groups: dict = {}
+    for b, pos in enumerate(block_class):
+        groups.setdefault(plan_of[pos], []).append(b)
+    plans = tuple(groups.keys())
+    barrs, warrs = [], []
+    for blocks in groups.values():
+        slots = -(-len(blocks) // ndev)
+        ba = np.full((ndev, slots), blocks[0], np.int32)
+        wa = np.zeros((ndev, slots), np.float32)
+        for i, b in enumerate(blocks):
+            ba[i % ndev, i // ndev] = b
+            wa[i % ndev, i // ndev] = 1.0
+        barrs.append(jnp.asarray(ba))
+        warrs.append(jnp.asarray(wa))
+
+    segs_all = list(segments) + [(0, n_pad)]
+    segs_t = tuple(int(s) for s, _ in segs_all)
+    lens_t = tuple(int(l) for _, l in segs_all)
+    if class_probs is None:
+        class_probs = np.zeros((1,), np.float32)
+
+    @jax.jit
+    def _run(cpad_a, yv_a, valid_a, n_real, cp, bas, was):
+        def local_fn(c_a, y_a, v_a, nr, cpl, ba_l, wa_l):
+            total = jnp.zeros((p_pad,), jnp.float32)
+            for plan, ba, wa in zip(plans, ba_l, wa_l):
+                ba1, wa1 = ba[0], wa[0]
+
+                def per_slot(i, plan=plan, ba1=ba1, wa1=wa1):
+                    b = ba1[i]
+                    ci = jax.lax.dynamic_slice(
+                        c_a, (b * ti, 0), (ti, p_pad))
+                    yi = jax.lax.dynamic_slice(y_a, (b * ti,), (ti,))
+                    vi = jax.lax.dynamic_slice(v_a, (b * ti,), (ti,))
+                    iid = b * ti + jnp.arange(ti, dtype=jnp.int32)
+                    part = rd._block_scores_v2(
+                        ci, yi, vi, iid, c_a, y_a, v_a, nr, cpl,
+                        algo=algo, use_star=use_star, k=k, ft=ft,
+                        n_states=int(n_states), plan=plan,
+                        seg_starts=segs_t, seg_lens=lens_t)
+                    return part * wa1[i]
+
+                parts = jax.lax.map(
+                    per_slot, jnp.arange(ba1.shape[0]))
+                total = total + parts.sum(axis=0)
+            return jax.lax.psum(total, axis)
+
+        return shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(),
+                      P(axis, None), P(axis, None)),
+            out_specs=P(),
+            check_vma=False,
+        )(cpad_a, yv_a, valid_a, n_real, cp, bas, was)
+
+    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+                  np.float32(n), np.asarray(class_probs, np.float32),
+                  tuple(barrs), tuple(warrs))
+    return np.asarray(scores, np.float32)[:p] / np.float32(n)
+
+
 def sharded_relief_discrete_scores(
     codes: np.ndarray,
     y: np.ndarray,
@@ -143,12 +230,15 @@ def sharded_relief_discrete_scores(
     """All-discrete Relief scoring, data-parallel over a device mesh.
 
     Same focal-shard layout as :func:`sharded_relief_scores` but through
-    the discrete MXU engine (``relief_discrete.relief_discrete_core``):
-    each chip one-hot-matmuls its focal block against the replicated code
-    matrix; per-feature partials merge with one psum over ICI.
+    the discrete MXU engine: when the class-sorted v2 layout applies
+    (``relief_discrete._v2_layout``) each chip runs the
+    segment-restricted pass 2 on its dealt focal blocks
+    (:func:`_sharded_discrete_v2`); otherwise each chip one-hot-matmuls
+    its focal shard through ``relief_discrete.relief_discrete_core``.
+    Per-feature partials merge with one psum over ICI either way.
     """
     from ..ops.relief_discrete import (relief_discrete_core, pack_discrete,
-                                       _discrete_tile_sizes)
+                                       _discrete_tile_sizes, _v2_layout)
 
     n, p = codes.shape
     if n_states is None:
@@ -161,6 +251,13 @@ def sharded_relief_discrete_scores(
     ti0, ft = _discrete_tile_sizes(n, p, n_states)
     # focal tile must divide each device's shard
     ti = min(ti0, max(8, _round_up(n // ndev or 1, 8)))
+
+    layout = _v2_layout(np.asarray(y), n, ti, algo, class_probs)
+    if layout is not None and not isinstance(codes, jax.Array):
+        return _sharded_discrete_v2(
+            codes, y, layout, n, p, n_states, class_probs, mesh,
+            algo=algo, use_star=use_star, k=int(n_neighbors),
+            ti=ti, ft=ft)
     cpad, yv, valid, (ti, ft) = pack_discrete(
         np.asarray(codes, np.int8), np.asarray(y, np.int32), n_states,
         ti=ti, ft=ft)

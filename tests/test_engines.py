@@ -458,3 +458,37 @@ def test_single_upload_staged_fit_consistent(rng):
                                algo="multisurf", device=dev)
     # same kernels, same tiling — staging must not change the math
     assert_allclose(est.feature_importances_, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(not _tpu_present(),
+                    reason="hybrid engine runs Pallas kernels (TPU only)")
+@pytest.mark.parametrize("algo,star,k,ncls", CASES)
+def test_hybrid_v2_discrete_half_matches_generic(monkeypatch, algo, star,
+                                                 k, ncls, rng):
+    """With the v2 gate forced open, the hybrid square path class-sorts
+    rows and runs the segment-restricted pass 2 on its discrete half —
+    scores must still match the generic engine."""
+    import fastselect_tpu.ops.relief_discrete as rd
+    from fastselect_tpu.ops.relief_hybrid import relief_hybrid_scores
+
+    monkeypatch.setattr(rd, "_V2_MIN_N", 16)
+    n, p = 300, 96
+    x = rng.rand(n, p).astype(np.float32)
+    x[:, :40] = rng.randint(0, 3, (n, 40))
+    y = rng.randint(0, ncls, n).astype(np.int32)
+    disc = np.zeros(p, bool)
+    disc[:40] = True
+    recip = (1.0 / np.maximum(x.max(0) - x.min(0), 1e-9)).astype(np.float32)
+    cp = np.bincount(y, minlength=ncls).astype(np.float32) / n
+    # compare against the generic engine on the SAME class-sorted row
+    # order the hybrid uses internally — the permutation itself perturbs
+    # f32 continuous-distance sums at the last bit, which is not what
+    # this test is about (the segment-restricted discrete pass 2 is)
+    perm = np.argsort(y, kind="stable")
+    ref = _generic_scores(x[perm], y[perm], recip, disc, algo, star, k,
+                          cp)
+    got = relief_hybrid_scores(x, y, recip, disc, algo=algo, use_star=star,
+                               n_neighbors=k, class_probs=cp)
+    assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    # no exact-argsort assert: the fixture has no planted signal, so
+    # adjacent ranks are last-bit ties between engines

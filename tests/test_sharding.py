@@ -317,3 +317,130 @@ def test_pairwise_stat_matrix_autoroutes_to_mesh(monkeypatch, rng):
     assert_allclose(got, ref, rtol=1e-6, atol=1e-9)
     # both paths honour the bitwise-symmetry contract
     assert_array_equal(got, got.T)
+
+
+# ---------------------------------------------------------------------------
+# v2 (class-sorted, segment-restricted) engines inside the sharded layouts
+# ---------------------------------------------------------------------------
+
+def _force_v2(monkeypatch):
+    import fastselect_tpu.ops.relief_discrete as rd
+    monkeypatch.setattr(rd, "_V2_MIN_N", 16)
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("multisurf", {}),
+    ("multisurf", {"use_star": True}),
+    ("surf", {"use_star": True}),
+    ("relieff", {"n_neighbors": 3}),
+])
+def test_sharded_discrete_v2_matches_single_chip(monkeypatch, algo, kw,
+                                                 rng):
+    """The class-sorted segment-restricted pass 2 must give identical
+    scores through the sample-shard layout at every mesh size."""
+    from fastselect_tpu.parallel import sharded_relief_discrete_scores
+    from fastselect_tpu.parallel.sharded import _sharded_discrete_v2
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+    import fastselect_tpu.parallel.sharded as SH
+
+    _force_v2(monkeypatch)
+    calls = []
+    orig = _sharded_discrete_v2
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(SH, "_sharded_discrete_v2", spy)
+
+    n, p = 72, 26
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    if algo == "relieff":
+        kw = dict(kw, class_probs=(np.bincount(y, minlength=2)
+                                   / n).astype(np.float32))
+    single = relief_discrete_scores(None, y, algo=algo, codes=codes,
+                                    n_states=3, **kw)
+    for ndev in (1, 2, 8):
+        got = sharded_relief_discrete_scores(
+            codes, y, algo=algo, n_states=3,
+            devices=jax.devices()[:ndev], **kw)
+        assert_allclose(got, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+    assert len(calls) == 3  # the v2 layout actually ran
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("multisurf", {}),
+    ("surf", {"use_star": True}),
+    ("relieff", {"n_neighbors": 3}),
+])
+def test_feature_shard_v2_matches_single_chip(monkeypatch, algo, kw, rng):
+    """Segment-restricted pass 2 inside the p >> n feature-shard layout."""
+    from fastselect_tpu.parallel import (
+        feature_sharded_relief_discrete_scores)
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+
+    _force_v2(monkeypatch)
+    n, p = 44, 90
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 3, n).astype(np.int32)
+    if algo == "relieff":
+        kw = dict(kw, class_probs=(np.bincount(y, minlength=3)
+                                   / n).astype(np.float32))
+    single = relief_discrete_scores(None, y, algo=algo, codes=codes,
+                                    n_states=3, **kw)
+    for ndev in (2, 8):
+        got = feature_sharded_relief_discrete_scores(
+            codes, y, algo=algo, n_states=3,
+            devices=jax.devices()[:ndev], **kw)
+        assert_allclose(got, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+
+
+@pytest.mark.parametrize("algo,kw", [
+    ("multisurf", {"use_star": True}),
+    ("surf", {}),
+    ("relieff", {"n_neighbors": 3}),
+])
+def test_ring_v2_skip_table_matches_single_chip(monkeypatch, algo, kw,
+                                                rng):
+    """Class-sorted ring with the per-group skip table: skipped
+    contractions are exactly the zero-support ones, so scores are
+    unchanged at every mesh size."""
+    from fastselect_tpu.parallel import ring_relief_discrete_scores
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+
+    _force_v2(monkeypatch)
+    n, p = 52, 19
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    if algo == "relieff":
+        kw = dict(kw, class_probs=(np.bincount(y, minlength=2)
+                                   / n).astype(np.float32))
+    single = relief_discrete_scores(None, y, algo=algo, codes=codes,
+                                    n_states=3, **kw)
+    for ndev in (2, 4, 8):
+        ring = ring_relief_discrete_scores(
+            codes, y, algo=algo, n_states=3,
+            devices=jax.devices()[:ndev], **kw)
+        assert_allclose(ring, single, atol=2e-5, rtol=1e-5,
+                        err_msg=f"ndev={ndev}")
+
+
+def test_ring_skip_table_structure():
+    """Single-class devices must skip roughly half the pass-2 steps in a
+    balanced 2-class layout (the table is the flop saving)."""
+    from fastselect_tpu.parallel.ring import (_ring_rule_groups,
+                                              _ring_skip_table)
+
+    # 64 rows: class 0 = rows 0..31, class 1 = rows 32..63; 4 devices
+    segments = [(0, 32), (32, 32)]
+    groups = _ring_rule_groups("multisurf", False, 2)
+    tbl = _ring_skip_table(groups, segments, 64, 16, 4)
+    # device 0 (class 0): hits only against owners 0,1; misses 2,3
+    assert tbl[0, 0].tolist() == [1, 1, 0, 0]
+    assert tbl[1, 0].tolist() == [0, 0, 1, 1]
+    # device 3 (class 1): hits 2,3; misses 0,1
+    assert tbl[0, 3].tolist() == [0, 0, 1, 1]
+    assert tbl[1, 3].tolist() == [1, 1, 0, 0]
