@@ -37,10 +37,17 @@ def main(n: int, p: int, seed: int = 0) -> None:
     y = ((X[:, 7].astype(int) + X[:, 42].astype(int)
           + rs.randint(0, 2, n)) > 2).astype(np.int8)
 
+    # checkpoint in a user-owned directory (a world-writable fixed path
+    # like /tmp/... would let another local user pre-place a pickle
+    # that resume would unpickle)
+    import tempfile
+    ckpt_dir = tempfile.mkdtemp(prefix="fastselect_turf_")
+    ckpt = f"{ckpt_dir}/gwas_turf.ckpt"
+
     t0 = time.perf_counter()
     scorer = MultiSURF(n_features_to_select=100)
     turf = TuRF(scorer, n_features_to_select=256, pct_remove=0.4,
-                checkpoint_path="/tmp/gwas_turf.ckpt", verbose=True)
+                checkpoint_path=ckpt, verbose=True)
     turf.fit(X, y)
     print(f"TuRF elimination: {time.perf_counter() - t0:.1f}s, "
           f"kept {len(turf.top_features_)} features")

@@ -28,6 +28,18 @@ MAX_K_FOR_KERNEL = 6
 _COMBO_CHUNK = 1 << 18  # stream combos; never materialise C(p,k) at once
 
 
+def _balanced_accuracy(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    """Mean of sensitivity and specificity over 0/1 labels; a class
+    absent from ``y_true`` contributes rate 0 (the reference's held-out
+    fold scoring convention, ``MDR.py:289-296``)."""
+    rates = []
+    for cls in (1, 0):
+        present = y_true == cls
+        rates.append(float((present & (y_pred == cls)).sum()
+                           / present.sum()) if present.any() else 0.0)
+    return 0.5 * sum(rates)
+
+
 class MDR(BaseEstimator, ClassifierMixin):
     """TPU-accelerated Multifactor Dimensionality Reduction.
 
@@ -165,38 +177,30 @@ class MDR(BaseEstimator, ClassifierMixin):
             fold_best_models.append(best_combo)
             lookup = self._create_lookup_table(X[train_idx], y_train,
                                                best_combo)
-            y_pred = self._internal_predict(X_test, best_combo, lookup)
-
-            tp = np.sum((y_test == 1) & (y_pred == 1))
-            tn = np.sum((y_test == 0) & (y_pred == 0))
-            n_pos = np.sum(y_test == 1)
-            n_neg = np.sum(y_test == 0)
-            sens = tp / n_pos if n_pos else 0
-            spec = tn / n_neg if n_neg else 0
-            test_ba = (sens + spec) / 2.0
+            test_ba = _balanced_accuracy(
+                y_test, self._internal_predict(X_test, best_combo, lookup))
             fold_test_bas.append(test_ba)
 
             if self.verbose:
                 print(f"  Fold {fold_i}/{self.cv}: best {best_combo}, "
                       f"Test BA = {test_ba:.4f}")
 
+        # Winner = highest cross-validation consistency, ties broken by
+        # mean held-out BA (first-seen fold order wins exact BA ties,
+        # matching the reference's selection semantics, MDR.py:304-323).
         counts = Counter(fold_best_models)
-        max_cvc = counts.most_common(1)[0][1]
-        top_models = [m for m, c in counts.items() if c == max_cvc]
-
-        best_model = None
-        best_avg_ba = -1.0
-        for model in top_models:
-            bas = [fold_test_bas[i] for i, m in enumerate(fold_best_models)
-                   if m == model]
-            avg_ba = float(np.mean(bas))
-            if avg_ba > best_avg_ba:
-                best_avg_ba = avg_ba
-                best_model = model
+        max_cvc = max(counts.values())
+        mean_ba = {
+            model: float(np.mean([ba for m, ba in zip(fold_best_models,
+                                                      fold_test_bas)
+                                  if m == model]))
+            for model, c in counts.items() if c == max_cvc
+        }
+        best_model = max(mean_ba, key=mean_ba.__getitem__)
 
         self.best_interaction_ = best_model
         self.best_cvc_ = max_cvc
-        self.best_mean_testing_ba_ = best_avg_ba
+        self.best_mean_testing_ba_ = mean_ba[best_model]
         if self.verbose:
             print("\nFit Complete")
             print(f"Best interaction: {self.best_interaction_}")

@@ -123,7 +123,9 @@ class mRMR(BaseEstimator, TransformerMixin):
             relevance = staged.stats_vs(y_enc, s, "mi")
 
             def redundancy_column(j):
-                return staged.column(j, "mi")
+                col = np.array(staged.column(j, "mi"), dtype=np.float64)
+                col[j] = 0.0  # self-entry I(X_j;X_j)=H(X_j): match the
+                return col    # full-matrix contract (fill_diagonal 0)
         else:
             relevance, redundancy = mi_ops.calculate_mi_matrices(
                 X_enc, y_enc, backend=self.backend, unit="bit")

@@ -109,6 +109,7 @@ class TuRF(TransformerMixin, BaseEstimator):
         after every scoring round, and a prior snapshot matching this
         dataset's feature count resumes the loop mid-elimination.
         """
+        self._data_fp_ = self._data_fingerprint(X, y)
         resumed = self._load_checkpoint()
         if resumed is not None:
             active = np.asarray(resumed["active"])
@@ -167,6 +168,24 @@ class TuRF(TransformerMixin, BaseEstimator):
 
     # -- per-iteration checkpoint plumbing ---------------------------------
 
+    @staticmethod
+    def _data_fingerprint(X, y) -> str:
+        """Cheap dataset identity for checkpoint-resume validation:
+        shapes/dtype plus a strided value sample (max ~64 KB read), so a
+        stale snapshot from a different dataset with the same feature
+        count cannot silently resume with wrong scores."""
+        import hashlib
+
+        X = np.asarray(X)
+        y = np.asarray(y)
+        h = hashlib.sha1()
+        h.update(repr((X.shape, str(X.dtype), y.shape,
+                       str(y.dtype))).encode())
+        step = max(1, X.size // 8192)
+        h.update(np.ascontiguousarray(X.reshape(-1)[::step]).tobytes())
+        h.update(np.ascontiguousarray(y).tobytes())
+        return h.hexdigest()
+
     def _state_dict(self, active, scores, iteration) -> dict:
         return {
             "active": np.asarray(active).copy(),
@@ -174,6 +193,7 @@ class TuRF(TransformerMixin, BaseEstimator):
             "feature_importances": np.asarray(
                 self.feature_importances_).copy(),
             "n_features_in": int(self.n_features_in_),
+            "data_fingerprint": getattr(self, "_data_fp_", None),
             "iteration": int(iteration),
         }
 
@@ -207,6 +227,9 @@ class TuRF(TransformerMixin, BaseEstimator):
             return None
         if int(state["n_features_in"]) != self.n_features_in_:
             return None  # different dataset: start fresh
+        fp = state.get("data_fingerprint")
+        if fp is not None and fp != getattr(self, "_data_fp_", None):
+            return None  # same width, different data: start fresh
         return state
 
     def _make_fast_scorer(self, base, X, y):

@@ -714,15 +714,11 @@ def _discrete_tile_sizes(n: int, p: int, n_states: int):
     # (16384x65536: 0.82 s vs 0.88 s at the old formula's 2688); the
     # streamed/gather engines prefer ft=1024 (98kx100k: 44.6 s vs
     # 52.6 s at 512, regression at >=1536; 30kx200k: 10.6 s vs 12.9 s
-    # at 1536).  The zone test mirrors _run_v2's symmetric-engine gates
-    # (block count alone is not enough — huge-p fits stream even at
-    # small n).  A 1 GB one-hot-temp bound shrinks ft at extreme n*S.
+    # at 1536).  The zone test is _sym_zone — the SAME predicate
+    # _run_v2 dispatches on, so chooser and engine cannot drift.  A
+    # 1 GB one-hot-temp bound shrinks ft at extreme n*S.
     n_pad_est = _round_up(max(n, 1), ti)
-    sym_zone = (n_pad_est <= _SYM_MAX_N
-                and n_pad_est * s * _round_up(max(p, 1), 128)
-                <= _SYM_ONEHOT_BYTES
-                and 4 * n_pad_est * n_pad_est <= _SYM_MATCH_BYTES)
-    cap = 2048 if sym_zone else 1024
+    cap = 2048 if _sym_zone(n_pad_est, p, s) else 1024
     budget = 1 << 30
     ft_max = min(cap, max(128, budget // max(n * s, 1)))
     p128 = _round_up(max(p, 1), 128)
@@ -782,6 +778,21 @@ _V2_MIN_N = 4096
 _SYM_MAX_N = 24576
 _SYM_ONEHOT_BYTES = 4 << 30
 _SYM_MATCH_BYTES = 3 << 30
+
+
+def _sym_zone(n_pad: int, p: int, n_states: int) -> bool:
+    """Single source of truth for the symmetric-engine gates: the
+    precomputed one-hot and the (n, n) match matrix must both fit their
+    budgets.  ``p`` is the RAW feature count — it is normalised to the
+    128-aligned lower bound of any ft padding here, so the tile-size
+    chooser (which runs before ft exists) and ``_run_v2`` (which runs
+    after) evaluate the identical expression (VERDICT r2 item 10: the
+    two copies drifted once already, commit 968ff9e)."""
+    p128 = _round_up(max(p, 1), 128)
+    s = max(int(n_states), 2)
+    return (n_pad <= _SYM_MAX_N
+            and n_pad * s * p128 <= _SYM_ONEHOT_BYTES
+            and 4 * n_pad * n_pad <= _SYM_MATCH_BYTES)
 
 
 def _v2_layout(y, n, ti, algo, class_probs):
@@ -853,7 +864,11 @@ def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
         yi[:len(rows)] = yv[rows]
         vi = np.zeros((ti,), np.float32)
         vi[:len(rows)] = 1.0
-        iid = sidx.copy()
+        # pad focal entries get iid = -1 (never matches a j-column), so
+        # self-exclusion can't alias real sample 0 even if a refactor
+        # ever weakens the vi = 0 row masking
+        iid = np.full((ti,), -1, np.int32)
+        iid[:len(rows)] = rows
         out += np.asarray(_relief_discrete_block_v2g(
             codes, yv, valid, jnp.asarray(sidx), jnp.asarray(yi),
             jnp.asarray(vi), jnp.asarray(iid), np.float32(n), cp,
@@ -918,10 +933,7 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
     cp = np.asarray(class_probs, np.float32)
     nb = n_pad // ti
 
-    onehot_bytes = n_pad * n_states * p_pad
-    match_bytes = 4 * n_pad * n_pad
-    if (n_pad <= _SYM_MAX_N and onehot_bytes <= _SYM_ONEHOT_BYTES
-            and match_bytes <= _SYM_MATCH_BYTES):
+    if _sym_zone(n_pad, p, n_states):
         scores = np.asarray(_relief_discrete_engine_sym(
             cpad, yv, valid, np.float32(n), cp, plans=plans,
             seg_starts=segs_t, seg_lens=lens_t,

@@ -492,3 +492,21 @@ def test_hybrid_v2_discrete_half_matches_generic(monkeypatch, algo, star,
     assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
     # no exact-argsort assert: the fixture has no planted signal, so
     # adjacent ranks are last-bit ties between engines
+
+
+def test_sym_zone_single_predicate():
+    """The tile-size chooser and _run_v2 must agree on the symmetric
+    zone: the chooser's ft cap is 2048 exactly when _sym_zone holds for
+    the padded sample count (regression for the r2 drift bug)."""
+    from fastselect_tpu.ops.relief_discrete import (
+        _discrete_tile_sizes, _sym_zone, _round_up)
+
+    for n in (100, 4096, 16384, 24576, 24577, 30000, 98304):
+        for p in (128, 512, 65536, 200000):
+            for s in (2, 3, 10):
+                ti, ft = _discrete_tile_sizes(n, p, s)
+                n_pad = _round_up(n, ti)
+                if _sym_zone(n_pad, p, s):
+                    assert ft <= 2048, (n, p, s)
+                else:
+                    assert ft <= 1024, (n, p, s)

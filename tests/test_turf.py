@@ -213,3 +213,22 @@ def test_turf_keeps_small_int_dtype(data):
     t = TuRF(MockScorer(), n_features_to_select=4,
              pct_remove=0.25).fit(Xi, y)
     np.testing.assert_array_equal(t.top_features_, ref.top_features_)
+
+
+def test_checkpoint_ignored_for_same_width_different_data(data, tmp_path):
+    """A stale snapshot from a dataset with the SAME feature count must
+    not resume: the dataset fingerprint rejects it (ADVICE r2)."""
+    X, y = data
+    ckpt = str(tmp_path / "turf.ckpt")
+    kw = dict(n_features_to_select=2, pct_remove=0.15)
+    with pytest.raises(RuntimeError):
+        TuRF(CountingScorer(die_after=1), checkpoint_path=ckpt,
+             **kw).fit(X, y)
+    X2 = X + 1.0  # same shape, different values
+    fresh = CountingScorer()
+    t = TuRF(fresh, checkpoint_path=ckpt, **kw).fit(X2, y)
+    full = CountingScorer()
+    TuRF(full, checkpoint_path=str(tmp_path / "o.ckpt"), **kw).fit(X2, y)
+    assert fresh.n_fits == full.n_fits  # started from scratch
+    reference = TuRF(MockScorer(), **kw).fit(X2, y)
+    assert_array_equal(t.top_features_, reference.top_features_)
