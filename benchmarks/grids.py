@@ -62,15 +62,38 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
             ("large_n", [(n, 100) for n in (10_000, 30_000, 50_000)]),
         ]
     ests = make_estimators()
+    def record(scenario, name, n, p, t):
+        rows.append((scenario, name, n, p,
+                     round(t.seconds, 5), round(t.throughput, 1),
+                     round(t.peak_rss_mb, 1),
+                     round(t.peak_device_mb, 1)))
+        print(f"{scenario} {name} {n}x{p}: {t.seconds:.4f}s "
+              f"rss={t.peak_rss_mb:.0f}MB dev={t.peak_device_mb:.0f}MB",
+              flush=True)
+
+    competitors = {}
+    try:  # optional: rows appear only when skrebate is installed
+        import skrebate
+        competitors = {
+            "skrebate.MultiSURF": lambda: skrebate.MultiSURF(
+                n_features_to_select=10),
+            "skrebate.SURF": lambda: skrebate.SURF(
+                n_features_to_select=10),
+            "skrebate.ReliefF": lambda: skrebate.ReliefF(
+                n_features_to_select=10, n_neighbors=10),
+        }
+    except Exception:
+        pass
+
     for scenario, shapes in grids:
         for n, p in shapes:
             X, y = classification_data(n, p)
             for name, make in ests.items():
-                t = timed_fit(make, X, y)
-                rows.append((scenario, name, n, p,
-                             round(t.seconds, 5), round(t.throughput, 1)))
-                print(f"{scenario} {name} {n}x{p}: {t.seconds:.4f}s",
-                      flush=True)
+                record(scenario, name, n, p, timed_fit(make, X, y))
+            if scenario in ("p_dominant", "n_dominant"):
+                for name, make in competitors.items():
+                    record(scenario, name, n, p,
+                           timed_fit(make, X, y, warmup=False))
 
     if flagship:
         # paper.md:44 shape class: all-discrete genotypes, n >> and p >>.
@@ -78,10 +101,7 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
             X, y = snp_data(n, p)
             t = timed_fit(
                 lambda: MultiSURF(n_features_to_select=10), X, y)
-            rows.append(("flagship_snp", "MultiSURF", n, p,
-                         round(t.seconds, 5), round(t.throughput, 1)))
-            print(f"flagship_snp MultiSURF {n}x{p}: {t.seconds:.2f}s",
-                  flush=True)
+            record("flagship_snp", "MultiSURF", n, p, t)
 
     if large:
         # mixed discrete+continuous beyond the old 24k hybrid cap
@@ -92,15 +112,13 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
         X[:, :p // 2] = rs.randint(0, 3, (n, p // 2))
         y = rs.randint(0, 2, n)
         t = timed_fit(lambda: MultiSURF(n_features_to_select=10), X, y)
-        rows.append(("large_n_mixed", "MultiSURF", n, p,
-                     round(t.seconds, 5), round(t.throughput, 1)))
-        print(f"large_n_mixed MultiSURF {n}x{p}: {t.seconds:.2f}s",
-              flush=True)
+        record("large_n_mixed", "MultiSURF", n, p, t)
 
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["scenario", "estimator", "n_samples", "n_features",
-                    "seconds", "samples2_features_per_s"])
+                    "seconds", "samples2_features_per_s",
+                    "peak_rss_mb", "peak_device_mb"])
         w.writerows(rows)
     print(f"device={device_kind()}  wrote {len(rows)} rows -> {out}")
 

@@ -26,6 +26,21 @@ def timeit(fn, warm=True):
     return time.perf_counter() - t0
 
 
+def _optional(modname):
+    """Import a competitor package if installed, else None (the harness
+    must run without any of them)."""
+    import importlib
+    try:
+        return importlib.import_module(modname)
+    except Exception:
+        return None
+
+
+def _sk_chi2(X, y):
+    from sklearn.feature_selection import chi2 as sk
+    return sk(X, y)
+
+
 def main(out):
     rs = np.random.RandomState(42)
     rows = []
@@ -69,6 +84,32 @@ def main(out):
     s = timeit(lambda: chi2(X, y))
     rows.append(("chi2", "chi2", 2000, 200_000, round(s, 4)))
     print(f"chi2 2000x200000: {s:.3f}s", flush=True)
+
+    # --- competitor baselines (optional imports — rows appear only when
+    # the package is installed, mirroring the reference's comparison
+    # scripts: benchmarking.py:9-22 skrebate, benchmarking_mrmr.py mrmr,
+    # benchmarking_cfs.py skfeature; sklearn is always present) ---
+    s = timeit(lambda: _sk_chi2(X, y))
+    rows.append(("chi2", "sklearn.chi2", 2000, 200_000, round(s, 4)))
+    print(f"sklearn.chi2 2000x200000: {s:.3f}s", flush=True)
+
+    mrmr_pkg = _optional("mrmr")
+    if mrmr_pkg is not None:
+        import pandas as pd
+        Xd = pd.DataFrame(rs.randint(0, 5, (2000, 2000)))
+        yd = pd.Series(rs.randint(0, 2, 2000))
+        s = timeit(lambda: mrmr_pkg.mrmr_classif(X=Xd, y=yd, K=10))
+        rows.append(("mrmr", "mrmr_selection", 2000, 2000, round(s, 4)))
+        print(f"mrmr package 2000x2000: {s:.3f}s", flush=True)
+
+    skf = _optional("skfeature.function.statistical_based.CFS")
+    if skf is not None:
+        n, p = 200, 500
+        Xc = rs.rand(n, p)
+        yc = rs.randint(0, 2, n)
+        s = timeit(lambda: skf.cfs(Xc, yc), warm=False)
+        rows.append(("cfs", "skfeature.CFS", n, p, round(s, 4)))
+        print(f"skfeature.CFS {n}x{p}: {s:.3f}s", flush=True)
 
     with open(out, "w", newline="") as fh:
         w = csv.writer(fh)

@@ -39,6 +39,35 @@ def main(csv_path, out_prefix):
         fig.tight_layout()
         fig.savefig(path, dpi=120)
         print("wrote", path)
+        plt.close(fig)
+
+        # peak-memory twin (reference: benchmark_plots/*_memory.png)
+        if not any("peak_rss_mb" in r and r["peak_rss_mb"] for r in sub):
+            continue
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        for name, _ in sorted(series.items()):
+            pts = sorted((int(r[xkey]), float(r["peak_rss_mb"]))
+                         for r in sub if r["estimator"] == name)
+            ax.plot([x for x, _ in pts], [m for _, m in pts],
+                    marker="o", label=name)
+        dev = sorted((int(r[xkey]), float(r.get("peak_device_mb", 0)))
+                     for r in sub)
+        if any(m for _, m in dev):
+            by_x = defaultdict(float)
+            for x, m in dev:
+                by_x[x] = max(by_x[x], m)
+            ax.plot(*zip(*sorted(by_x.items())), marker="s", ls="--",
+                    color="k", label="device peak (HBM)")
+        ax.set_xlabel(xkey)
+        ax.set_ylabel("peak memory (MB)")
+        ax.set_title(f"{sc} — peak host RSS / device memory")
+        ax.legend(fontsize=8)
+        ax.grid(True, which="both", alpha=0.3)
+        path = f"{out_prefix}_{sc}_memory.png"
+        fig.tight_layout()
+        fig.savefig(path, dpi=120)
+        print("wrote", path)
+        plt.close(fig)
 
 
 if __name__ == "__main__":

@@ -9,8 +9,10 @@ matmul of one-hot encodings:
                  = onehot(U).T @ onehot(V)
 
 Batched over features (relevance vectors) and over feature-pair tiles
-(redundancy / r_ff matrices), every table lands on the MXU.  Counts are exact
-in fp32 for n < 2^24 samples.
+(redundancy / r_ff matrices), every table lands on the MXU.  One-hot
+operands are bf16 — 0/1 is exact in bf16 and the MXU runs bf16 at ~4x
+its f32 rate on v5e — with f32 accumulation, so counts are exact for
+n < 2^24 samples.
 
 Tiles are sliced on host and passed as jit arguments: the compiled program
 is shape-keyed and reused for every tile (traced dynamic-slice offsets into
@@ -27,6 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 _EPS = 1e-12
+
+# 0/1 one-hot matmul operand dtype: bf16 is exact for 0/1 inputs and
+# ~4x f32 MXU throughput; accumulation stays f32 (preferred_element_type)
+_OH_DTYPE = jnp.bfloat16
 
 
 def _round_up(v: int, m: int) -> int:
@@ -104,7 +110,7 @@ def su_tables_reduce(tables, n):
 def _target_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
     """Count tables (tile, s_x, s_y) of each column of Xt against y."""
     n, tile = Xt.shape
-    xoh = jax.nn.one_hot(Xt, s_x, dtype=jnp.float32).reshape(n, tile * s_x)
+    xoh = jax.nn.one_hot(Xt, s_x, dtype=_OH_DTYPE).reshape(n, tile * s_x)
     counts = jax.lax.dot_general(
         xoh, yoh,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -118,8 +124,8 @@ def _pair_tile_stat(Xi, Xj, n_real, *, s: int, stat: str, log_base: float):
     """(ti, tj) statistic matrix from the joint tables of all column pairs."""
     n, ti = Xi.shape
     tj = Xj.shape[1]
-    xi_oh = jax.nn.one_hot(Xi, s, dtype=jnp.float32).reshape(n, ti * s)
-    xj_oh = jax.nn.one_hot(Xj, s, dtype=jnp.float32).reshape(n, tj * s)
+    xi_oh = jax.nn.one_hot(Xi, s, dtype=_OH_DTYPE).reshape(n, ti * s)
+    xj_oh = jax.nn.one_hot(Xj, s, dtype=_OH_DTYPE).reshape(n, tj * s)
     counts = jax.lax.dot_general(
         xi_oh, xj_oh,
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -254,14 +260,14 @@ def _slice_col(xt, off):
 
 @partial(jax.jit, static_argnames=("s",))
 def _onehot_target(v32, *, s):
-    return jax.nn.one_hot(v32, s, dtype=jnp.float32)
+    return jax.nn.one_hot(v32, s, dtype=_OH_DTYPE)
 
 
 @partial(jax.jit, static_argnames=("s_x", "s_y"))
 def _staged_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
     n, tile = Xt.shape
     xoh = jax.nn.one_hot(Xt.astype(jnp.int32), s_x,
-                         dtype=jnp.float32).reshape(n, tile * s_x)
+                         dtype=_OH_DTYPE).reshape(n, tile * s_x)
     counts = jax.lax.dot_general(
         xoh, yoh,
         dimension_numbers=(((0,), (0,)), ((), ())),

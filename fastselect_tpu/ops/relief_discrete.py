@@ -94,6 +94,61 @@ def encode_discrete(x: np.ndarray, f_chunk: int | None = None):
     return codes, n_states
 
 
+# ---------------------------------------------------------------------------
+# Bit-packed transfer: small-cardinality codes cross the host->device
+# boundary at 2 or 4 bits per value (4x / 2x fewer bytes than int8) and
+# unpack on device under jit.  The H2D link is the end-to-end bottleneck
+# for GWAS-scale fits (reference re-uploads X per fit at full width,
+# ``MultiSURF.py:423-425``); SNP codes {0,1,2} need only 2 bits.
+# ---------------------------------------------------------------------------
+
+def _pack_codes(codes: np.ndarray, n_states: int):
+    """(packed uint8 (n, ceil(p/per)), bits) or None when n_states > 16.
+
+    Values are packed little-endian within each byte; trailing slots of
+    the last byte pack value 0 (which unpacks to harmless state-0 pad
+    columns)."""
+    if n_states <= 4:
+        bits = 2
+    elif n_states <= 16:
+        bits = 4
+    else:
+        return None
+    per = 8 // bits
+    n, p = codes.shape
+    pb = -(-p // per)
+    u = codes.astype(np.uint8, copy=False)
+    packed = np.zeros((n, pb), np.uint8)
+    for i in range(per):
+        cols = u[:, i::per]
+        packed[:, :cols.shape[1]] |= cols << np.uint8(bits * i)
+    return packed, bits
+
+
+@partial(jax.jit, static_argnames=("bits", "p"))
+def _unpack_codes(packed, *, bits, p):
+    """Device twin of :func:`_pack_codes`: (n, p) int8 state codes."""
+    per = 8 // bits
+    mask = jnp.uint8((1 << bits) - 1)
+    parts = [((packed >> jnp.uint8(bits * i)) & mask).astype(jnp.int8)
+             for i in range(per)]
+    out = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)
+    return out if out.shape[1] == p else out[:, :p]
+
+
+def stage_codes_device(codes: np.ndarray, n_states: int):
+    """Move host codes into HBM with the fewest bytes over the link:
+    bit-packed for n_states <= 16, raw int8 otherwise.  Returns a device
+    int8 array shaped like ``codes``."""
+    codes = np.asarray(codes, np.int8)
+    packed = _pack_codes(codes, int(n_states))
+    if packed is None:
+        return jax.device_put(codes)
+    pk, bits = packed
+    return _unpack_codes(jax.device_put(pk), bits=bits,
+                         p=codes.shape[1])
+
+
 def _match_rows(ci, codes_a, ft, n_states):
     """Pass 1: exact match counts (TI, n_pad).
 
@@ -993,11 +1048,14 @@ def relief_discrete_scores(
         if not isinstance(codes, jax.Array) and device is not None \
                 and device.platform != "cpu":
             # Uncommitted device_put once (lands on the default device set
-            # by execution_context), then pad on device.  Every other
-            # transfer route measured catastrophically slower here:
-            # committed device_put(x, dev) ~25x slower, eager
-            # jnp.asarray > 1000x slower, jit-argument transfer ~30x.
-            codes = jax.device_put(np.asarray(codes, np.int8))
+            # by execution_context), bit-packed when the cardinality
+            # allows (2 bits for SNP codes: 4x fewer bytes over the
+            # link), then unpack/pad on device.  Every other transfer
+            # route measured catastrophically slower here: committed
+            # device_put(x, dev) ~25x slower, eager jnp.asarray > 1000x
+            # slower, jit-argument transfer ~30x.
+            with phase("relief_discrete.h2d", work=n * p):
+                codes = stage_codes_device(codes, int(n_states))
 
         ti0, ft0 = _discrete_tile_sizes(n, p, int(n_states))
         layout = _v2_layout(np.asarray(y), n, ti or ti0, algo,

@@ -49,7 +49,8 @@ def _hybrid_engine(xc, codes_d, yv, valid, recip2, disc2,
     n_pad = xc.shape[0]
     p_d_pad = codes_d.shape[1]
     # pass 1: continuous part (Pallas, VPU) + discrete part (MXU)
-    D = pallas_dist_matrix(xc, recip2, disc2, ti, tj, ftc)
+    D = pallas_dist_matrix(xc, recip2, disc2, ti, tj, ftc,
+                           cont=True)
     match = _match_rows(codes_d, codes_d, ftd, s)
     D = D + (jnp.int32(p_d_pad) - match).astype(jnp.float32)
 
@@ -75,7 +76,8 @@ def _hybrid_engine(xc, codes_d, yv, valid, recip2, disc2,
                 ci, codes_d, rules_c, plan, segs_t, lens_t, ftd, s,
                 use_star)
     W = _sum_rules(rules)
-    s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc)
+    s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc,
+                            cont=True)
     return s_c, s_d
 
 
@@ -96,7 +98,8 @@ def _hybrid_engine_blocked(xc, codes_d, yv, valid, recip2, disc2,
     def per_block(b):
         xi = jax.lax.dynamic_slice(xc, (b * nb, 0), (nb, p_c_pad))
         ci = jax.lax.dynamic_slice(codes_d, (b * nb, 0), (nb, p_d_pad))
-        D = pallas_dist_matrix(xc, recip2, disc2, ti, tj, ftc, xi=xi)
+        D = pallas_dist_matrix(xc, recip2, disc2, ti, tj, ftc,
+                               xi=xi, cont=True)
         match = _match_rows(ci, codes_d, ftd, s)
         D = D + (jnp.int32(p_d_pad) - match).astype(jnp.float32)
         iid = b * nb + jnp.arange(nb, dtype=jnp.int32)
@@ -107,7 +110,8 @@ def _hybrid_engine_blocked(xc, codes_d, yv, valid, recip2, disc2,
             algo=algo, use_star=use_star, k=k)
         s_d = _accumulate_discrete(ci, codes_d, rules, ftd, s)
         W = _sum_rules(rules)
-        s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc, xi=xi)
+        s_c = pallas_accumulate(xc, W, recip2, disc2, ti, tj, ftc,
+                                xi=xi, cont=True)
         return s_c, s_d
 
     s_c_parts, s_d_parts = jax.lax.map(per_block,

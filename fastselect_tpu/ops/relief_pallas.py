@@ -54,6 +54,12 @@ def _mixed_diff(a, xj, recip, disc):
                      jnp.abs(d) * recip[None, None, :])
 
 
+def _cont_diff(a, xj, recip):
+    """(SB, TJ, FT) continuous-only diff: |a - b| * recip — two VPU ops
+    fewer per element than the mixed form (no compare, no select)."""
+    return jnp.abs(a[:, None, :] - xj[None, :, :]) * recip[None, None, :]
+
+
 def _dist_kernel(xi_ref, xj_ref, recip_ref, disc_ref, d_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -68,6 +74,27 @@ def _dist_kernel(xi_ref, xj_ref, recip_ref, disc_ref, d_ref):
         a = xi_ref[pl.ds(s * _SB, _SB), :]
         val = _mixed_diff(a, xj, recip, disc)
         d_ref[pl.ds(s * _SB, _SB), :] += val.sum(axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, ti // _SB, body, 0)
+
+
+def _dist_kernel_cont(xi_ref, xj_ref, recip_ref, d_ref):
+    """All-continuous pass 1 (the common large-fit case after routing:
+    mixed data goes to the hybrid engine, which calls these kernels with
+    an all-zero disc vector anyway)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        d_ref[:] = jnp.zeros_like(d_ref)
+
+    xj = xj_ref[:]
+    recip = recip_ref[0, :]
+    ti = xi_ref.shape[0]
+
+    def body(s, _):
+        a = xi_ref[pl.ds(s * _SB, _SB), :]
+        d_ref[pl.ds(s * _SB, _SB), :] += _cont_diff(a, xj, recip).sum(
+            axis=-1)
         return 0
 
     jax.lax.fori_loop(0, ti // _SB, body, 0)
@@ -96,6 +123,26 @@ def _accum_kernel(xi_ref, xj_ref, w_ref, recip_ref, disc_ref, s_ref):
     jax.lax.fori_loop(0, ti // _SB, body, 0)
 
 
+def _accum_kernel_cont(xi_ref, xj_ref, w_ref, recip_ref, s_ref):
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
+        s_ref[:] = jnp.zeros_like(s_ref)
+
+    xj = xj_ref[:]
+    recip = recip_ref[0, :]
+    ti, ft = xi_ref.shape
+
+    def body(s, _):
+        a = xi_ref[pl.ds(s * _SB, _SB), :]
+        w = w_ref[pl.ds(s * _SB, _SB), :]
+        val = _cont_diff(a, xj, recip)
+        s_ref[0:1, :] += (w[:, :, None] * val).sum(axis=(0, 1)).reshape(
+            1, ft)
+        return 0
+
+    jax.lax.fori_loop(0, ti // _SB, body, 0)
+
+
 @partial(jax.jit, static_argnames=("n_pad", "p_pad"))
 def _pad_x(x, *, n_pad, p_pad):
     """Module-level jitted pad (the _pad_device pattern): TuRF's
@@ -113,63 +160,80 @@ def _tiles(n_pad: int, p_pad: int) -> tuple[int, int, int]:
     return ti, tj, ft
 
 
-def pallas_dist_matrix(xp, recip, disc, ti, tj, ft, xi=None):
+def pallas_dist_matrix(xp, recip, disc, ti, tj, ft, xi=None,
+                       cont=False):
     """Pairwise mixed-distance matrix via pass 1.
 
     Square (xp vs xp) by default; pass ``xi`` (nb, p_pad) for a
     rectangular focal block vs all samples (the large-n blocked path).
+    ``cont=True`` selects the all-continuous kernel (no per-element
+    discrete select; ``disc`` is ignored).
     """
     n_pad, p_pad = xp.shape
     if xi is None:
         xi = xp
     grid = (xi.shape[0] // ti, n_pad // tj, p_pad // ft)
+    vec_spec = pl.BlockSpec((1, ft), lambda i, j, f: (0, f),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((ti, ft), lambda i, j, f: (i, f),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tj, ft), lambda i, j, f: (j, f),
+                     memory_space=pltpu.VMEM),
+        vec_spec,
+    ]
+    args = (xi, xp, recip)
+    kernel = _dist_kernel_cont
+    if not cont:
+        in_specs.append(vec_spec)
+        args = args + (disc,)
+        kernel = _dist_kernel
     return pl.pallas_call(
-        _dist_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ti, ft), lambda i, j, f: (i, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, ft), lambda i, j, f: (j, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ft), lambda i, j, f: (0, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ft), lambda i, j, f: (0, f),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((ti, tj), lambda i, j, f: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((xi.shape[0], n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * xi.shape[0] * n_pad * p_pad, bytes_accessed=0,
             transcendentals=0),
-    )(xi, xp, recip, disc)
+    )(*args)
 
 
-def pallas_accumulate(xp, W, recip, disc, ti, tj, ft, xi=None):
+def pallas_accumulate(xp, W, recip, disc, ti, tj, ft, xi=None,
+                      cont=False):
     """Pass 2: per-feature scores (p_pad,) from pairwise weights W.
 
     ``xi`` selects a rectangular focal block; W is (xi_rows, n_pad).
+    ``cont=True`` selects the all-continuous kernel.
     """
     n_pad, p_pad = xp.shape
     if xi is None:
         xi = xp
     nf = p_pad // ft
     grid = (nf, xi.shape[0] // ti, n_pad // tj)
+    vec_spec = pl.BlockSpec((1, ft), lambda f, i, j: (0, f),
+                            memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((ti, ft), lambda f, i, j: (i, f),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tj, ft), lambda f, i, j: (j, f),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ti, tj), lambda f, i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        vec_spec,
+    ]
+    args = (xi, xp, W, recip)
+    kernel = _accum_kernel_cont
+    if not cont:
+        in_specs.append(vec_spec)
+        args = args + (disc,)
+        kernel = _accum_kernel
     out = pl.pallas_call(
-        _accum_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((ti, ft), lambda f, i, j: (i, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tj, ft), lambda f, i, j: (j, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ti, tj), lambda f, i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ft), lambda f, i, j: (0, f),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ft), lambda f, i, j: (0, f),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         # one (8, ft) block per f-tile (TPU block rows must be a multiple
         # of 8 unless equal to the array dim); only row 0 accumulates
         out_specs=pl.BlockSpec((_SB, ft), lambda f, i, j: (f, 0),
@@ -178,28 +242,31 @@ def pallas_accumulate(xp, W, recip, disc, ti, tj, ft, xi=None):
         cost_estimate=pl.CostEstimate(
             flops=6 * xi.shape[0] * n_pad * p_pad, bytes_accessed=0,
             transcendentals=0),
-    )(xi, xp, W, recip, disc)
+    )(*args)
     return out.reshape(nf, _SB, ft)[:, 0, :].reshape(p_pad)
 
 
 @partial(jax.jit,
-         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft"))
+         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft",
+                          "cont"))
 def _pallas_engine(xp, yv, valid, recip2, disc2, n_real, class_probs,
-                   *, algo, use_star, k, ti, tj, ft):
+                   *, algo, use_star, k, ti, tj, ft, cont=False):
     n_pad = xp.shape[0]
-    D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft)
+    D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft, cont=cont)
     iid = jnp.arange(n_pad, dtype=jnp.int32)
     W = _sum_rules(pair_weight_rules(
         D, yv, valid, iid, yv, valid, n_real, class_probs,
         algo=algo, use_star=use_star, k=k))
-    return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft)
+    return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft, cont=cont)
 
 
 @partial(jax.jit,
-         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft", "nb"))
+         static_argnames=("algo", "use_star", "k", "ti", "tj", "ft", "nb",
+                          "cont"))
 def _pallas_engine_blocked(xp, yv, valid, recip2, disc2, n_real,
                            class_probs,
-                           *, algo, use_star, k, ti, tj, ft, nb):
+                           *, algo, use_star, k, ti, tj, ft, nb,
+                           cont=False):
     """Large-n path: focal super-blocks of nb rows stream against all
     samples, so only (nb, n_pad) distance/weight blocks materialise —
     HBM stays bounded while both passes keep the fused kernels."""
@@ -207,14 +274,16 @@ def _pallas_engine_blocked(xp, yv, valid, recip2, disc2, n_real,
 
     def per_block(b):
         xi = jax.lax.dynamic_slice(xp, (b * nb, 0), (nb, p_pad))
-        D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft, xi=xi)
+        D = pallas_dist_matrix(xp, recip2, disc2, ti, tj, ft, xi=xi,
+                               cont=cont)
         iid = b * nb + jnp.arange(nb, dtype=jnp.int32)
         yi = jax.lax.dynamic_slice(yv, (b * nb,), (nb,))
         vi = jax.lax.dynamic_slice(valid, (b * nb,), (nb,))
         W = _sum_rules(pair_weight_rules(
             D, yi, vi, iid, yv, valid, n_real, class_probs,
             algo=algo, use_star=use_star, k=k))
-        return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft, xi=xi)
+        return pallas_accumulate(xp, W, recip2, disc2, ti, tj, ft, xi=xi,
+                                 cont=cont)
 
     parts = jax.lax.map(per_block, jnp.arange(n_pad // nb))
     return parts.sum(axis=0)
@@ -280,6 +349,7 @@ def relief_pallas_scores(
         class_probs = np.zeros((1,), np.float32)
 
     from ..utils.backend import execution_context
+    cont = not bool(np.any(is_discrete))
     with execution_context(device):
         if (not isinstance(xp, jax.Array) and device is not None
                 and device.platform != "cpu"):
@@ -292,7 +362,7 @@ def relief_pallas_scores(
                     xp, yv, valid, recip2, disc2, np.float32(n),
                     np.asarray(class_probs, np.float32),
                     algo=algo, use_star=use_star, k=int(n_neighbors),
-                    ti=ti, tj=tj, ft=ft)
+                    ti=ti, tj=tj, ft=ft, cont=cont)
         else:
             from ..utils.logging import phase
             nb = _focal_block_rows(n_pad, max(ti, tj))
@@ -303,13 +373,13 @@ def relief_pallas_scores(
                         xp, yv, valid, recip2, disc2, np.float32(n),
                         np.asarray(class_probs, np.float32),
                         algo=algo, use_star=use_star, k=int(n_neighbors),
-                        ti=ti, tj=tj, ft=ft)
+                        ti=ti, tj=tj, ft=ft, cont=cont)
                 else:
                     scores = _pallas_engine_blocked(
                         xp, yv, valid, recip2, disc2, np.float32(n),
                         np.asarray(class_probs, np.float32),
                         algo=algo, use_star=use_star, k=int(n_neighbors),
-                        ti=ti, tj=tj, ft=ft, nb=nb)
+                        ti=ti, tj=tj, ft=ft, nb=nb, cont=cont)
                 scores = np.asarray(scores, np.float32)
         scores = np.asarray(scores, np.float32)
     return scores[:p] / np.float32(n)

@@ -187,7 +187,7 @@ def sharded_pairwise_stat_matrix(
 
         def pair_block(xi_oh, xj):
             xj_oh = jax.nn.one_hot(xj.astype(jnp.int32), s_,
-                                   dtype=jnp.float32).reshape(
+                                   dtype=jnp.bfloat16).reshape(
                 n, tile_ * s_)
             counts = jax.lax.dot_general(
                 xi_oh, xj_oh,
@@ -203,7 +203,7 @@ def sharded_pairwise_stat_matrix(
                 Xi = jax.lax.dynamic_slice(xi_shard, (0, i * tile_),
                                            (n, tile_))
                 xi_oh = jax.nn.one_hot(Xi.astype(jnp.int32), s_,
-                                       dtype=jnp.float32).reshape(
+                                       dtype=jnp.bfloat16).reshape(
                     n, tile_ * s_)
 
                 def over_j(j):

@@ -147,8 +147,21 @@ def _sharded_discrete_v2(codes, y, layout, n, p, n_states, class_probs,
     classes, perm, segments, block_class, n_pad = layout
     p_pad = _round_up(p, ft)
     y_np = np.asarray(y, np.int32)
-    cpad, yv, valid = rd._apply_layout_host(
-        np.asarray(codes, np.int8), y_np, perm, n_pad, p_pad)
+    # stage the UNSORTED codes with one uncommitted device_put and
+    # class-sort on device (gather): a host-side sorted copy of a
+    # GWAS-scale matrix costs seconds of memcpy plus a second full
+    # transfer-sized buffer
+    gather_idx = np.zeros((n_pad,), np.int32)
+    gather_idx[:n] = perm
+    row_valid = np.zeros((n_pad,), np.float32)
+    row_valid[:n] = 1.0
+    yv = np.full((n_pad,), -1, np.int32)
+    yv[:n] = y_np[perm]
+    codes_dev = rd.stage_codes_device(codes, int(n_states))
+    cpad = rd._apply_layout_device(
+        codes_dev, jnp.asarray(gather_idx), jnp.asarray(row_valid),
+        n_pad=n_pad, p_pad=p_pad)
+    valid = row_valid
 
     cls_t = tuple(int(c) for c in classes)
     plan_of = {pos: tuple((spec, tuple(segs)) for spec, segs in
@@ -209,7 +222,7 @@ def _sharded_discrete_v2(codes, y, layout, n, p, n_states, class_probs,
             check_vma=False,
         )(cpad_a, yv_a, valid_a, n_real, cp, bas, was)
 
-    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+    scores = _run(cpad, jnp.asarray(yv), jnp.asarray(valid),
                   np.float32(n), np.asarray(class_probs, np.float32),
                   tuple(barrs), tuple(warrs))
     return np.asarray(scores, np.float32)[:p] / np.float32(n)

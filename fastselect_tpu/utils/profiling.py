@@ -55,6 +55,9 @@ class FitTiming:
     warmup_seconds: float
     n_samples: int
     n_features: int
+    peak_rss_mb: float = 0.0       # max host RSS sampled during the fit
+    peak_device_mb: float = 0.0    # accelerator peak_bytes_in_use (0 if
+    #                                the runtime doesn't report it)
     throughput: float = field(init=False)  # samples^2 * features / s
 
     def __post_init__(self):
@@ -62,13 +65,75 @@ class FitTiming:
         self.throughput = work / self.seconds if self.seconds > 0 else 0.0
 
 
-def timed_fit(make_estimator, X, y, *, warmup=True) -> FitTiming:
+class _RssSampler:
+    """Background thread sampling /proc/self/statm resident pages.
+
+    The reference publishes peak-host-memory curves
+    (``benchmark_plots/*_memory.png``); this is the measurement side of
+    the repo's equivalent — sampling (vs VmHWM) so each fit gets its own
+    peak instead of a process-lifetime high-water mark."""
+
+    def __init__(self, interval: float = 0.005):
+        import threading
+        self._interval = interval
+        self._stop = threading.Event()
+        self.peak_bytes = 0
+        self._page = 4096
+        try:
+            import resource
+            self._page = resource.getpagesize()
+        except Exception:  # pragma: no cover
+            pass
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _read(self) -> int:
+        try:
+            with open("/proc/self/statm") as fh:
+                return int(fh.read().split()[1]) * self._page
+        except Exception:  # pragma: no cover - non-Linux
+            return 0
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self.peak_bytes = max(self.peak_bytes, self._read())
+            self._stop.wait(self._interval)
+
+    def __enter__(self):
+        self.peak_bytes = self._read()
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.peak_bytes = max(self.peak_bytes, self._read())
+
+
+def _device_peak_bytes() -> int:
+    """Accelerator peak_bytes_in_use across visible non-CPU devices
+    (0 when the runtime doesn't expose memory_stats)."""
+    peak = 0
+    try:
+        for d in jax.devices():
+            if d.platform == "cpu":
+                continue
+            stats = d.memory_stats() or {}
+            peak = max(peak, int(stats.get("peak_bytes_in_use", 0)))
+    except Exception:
+        pass
+    return peak
+
+
+def timed_fit(make_estimator, X, y, *, warmup=True,
+              track_memory=True) -> FitTiming:
     """Time ``estimator.fit(X, y)`` with compile excluded.
 
     ``make_estimator`` is a zero-arg factory (mirrors the reference's
     ``clone`` discipline, ``benchmarking.py:80``): the warm-up fit runs on
     a fresh instance at the SAME shape so the timed fit hits the
-    persistent XLA compile cache.
+    persistent XLA compile cache.  ``track_memory`` samples peak host
+    RSS during the timed fit and reads the device allocator's
+    peak_bytes_in_use after it.
     """
     t0 = time.perf_counter()
     if warmup:
@@ -76,11 +141,17 @@ def timed_fit(make_estimator, X, y, *, warmup=True) -> FitTiming:
     t_warm = time.perf_counter() - t0
 
     est = make_estimator()
+    sampler = _RssSampler() if track_memory else contextlib.nullcontext()
     t0 = time.perf_counter()
-    est.fit(X, y)
+    with sampler:
+        est.fit(X, y)
     seconds = time.perf_counter() - t0
+    rss_mb = (sampler.peak_bytes / 2**20
+              if isinstance(sampler, _RssSampler) else 0.0)
+    dev_mb = _device_peak_bytes() / 2**20 if track_memory else 0.0
     return FitTiming(seconds, t_warm, int(np.shape(X)[0]),
-                     int(np.shape(X)[1]))
+                     int(np.shape(X)[1]), peak_rss_mb=rss_mb,
+                     peak_device_mb=dev_mb)
 
 
 @contextlib.contextmanager

@@ -510,3 +510,41 @@ def test_sym_zone_single_predicate():
                     assert ft <= 2048, (n, p, s)
                 else:
                     assert ft <= 1024, (n, p, s)
+
+
+@pytest.mark.parametrize("s,bits", [(2, 2), (3, 2), (4, 2), (5, 4),
+                                    (16, 4), (17, None)])
+def test_pack_codes_roundtrip(s, bits, rng):
+    """Bit-packed H2D staging must round-trip exactly for every
+    cardinality tier (2-bit, 4-bit, raw int8 above 16 states)."""
+    from fastselect_tpu.ops.relief_discrete import (_pack_codes,
+                                                    stage_codes_device)
+
+    for p in (1, 3, 8, 13):  # ragged and aligned widths
+        codes = rng.randint(0, s, (9, p)).astype(np.int8)
+        packed = _pack_codes(codes, s)
+        if bits is None:
+            assert packed is None
+        else:
+            assert packed[1] == bits
+            assert packed[0].shape == (9, -(-p // (8 // bits)))
+        out = np.asarray(stage_codes_device(codes, s))
+        assert out.dtype == np.int8
+        assert_array_equal(out, codes)
+
+
+def test_staged_discrete_fit_matches_unstaged(rng):
+    """relief_discrete_scores through the packed staging path equals the
+    host-codes path bit for bit (integer pass 1 both ways)."""
+    from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
+    import jax
+
+    n, p = 64, 37
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    host = relief_discrete_scores(None, y, algo="multisurf", codes=codes,
+                                  n_states=3)
+    staged = relief_discrete_scores(
+        None, y, algo="multisurf", codes=codes, n_states=3,
+        device=jax.devices()[0])
+    assert_array_equal(host, staged)
