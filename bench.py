@@ -28,8 +28,24 @@ def _sync(x):
     return np.asarray(x)
 
 
+def _frac_peak(n, p, seconds):
+    from fastselect_tpu.utils.profiling import continuous_fraction_of_peak
+    f = continuous_fraction_of_peak(n, p, seconds)
+    return round(f, 4) if f is not None else None
+
+
 def main():
+    import os
     import jax
+    try:
+        # persistent compile cache: repeated harness runs skip the
+        # (minutes-long on tunnelled runtimes) warm-up compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/fastselect_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     from fastselect_tpu.ops.relief_discrete import relief_discrete_scores
     from fastselect_tpu.ops.relief_pallas import relief_pallas_scores
     from fastselect_tpu.utils.backend import resolve_backend, default_device
@@ -103,6 +119,7 @@ def main():
             "continuous_fit_seconds": round(cont_s, 4),
             "continuous_throughput": round(cont_thr, 1),
             "continuous_vs_baseline": round(cont_thr / ref_thr, 3),
+            "continuous_fraction_of_vpu_peak": _frac_peak(nc, pc, cont_s),
             "backend": backend,
             "device": str(jax.devices()[0]),
         },

@@ -288,7 +288,8 @@ class TuRF(TransformerMixin, BaseEstimator):
         import jax
         import jax.numpy as jnp
         from ..ops.relief_discrete import (encode_discrete,
-                                           relief_discrete_scores)
+                                           relief_discrete_scores,
+                                           stage_codes_device)
         from ..utils.backend import default_device, execution_context
 
         resolve_backend(backend, "TuRF")  # raise early if tpu forced w/o
@@ -300,7 +301,8 @@ class TuRF(TransformerMixin, BaseEstimator):
             codes_np, n_states = encode_discrete(
                 np.asarray(X, np.float32))
         with execution_context(device):
-            codes_dev = jax.device_put(codes_np)  # uncommitted: fast path
+            # bit-packed H2D for small cardinalities (4x fewer bytes)
+            codes_dev = stage_codes_device(codes_np, n_states)
 
         @jax.jit
         def mask_cols(c, m):

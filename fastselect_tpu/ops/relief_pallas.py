@@ -154,9 +154,11 @@ def _pad_x(x, *, n_pad, p_pad):
 
 
 def _tiles(n_pad: int, p_pad: int) -> tuple[int, int, int]:
+    # ft=1024 measured ~10% faster than 512 on v5e (16384x1024 sweep:
+    # cont pass1+2 0.509s vs 0.592s; SB in {8,16,32} within 2%)
     ti = 256 if n_pad >= 256 else n_pad
     tj = 256 if n_pad >= 256 else n_pad
-    ft = 512 if p_pad >= 512 else p_pad
+    ft = 1024 if p_pad >= 1024 else (512 if p_pad >= 512 else p_pad)
     return ti, tj, ft
 
 

@@ -23,15 +23,18 @@ from dataclasses import dataclass, field
 import jax
 import numpy as np
 
-# Rough per-chip peaks (dense matmul TFLOP/s bf16, HBM GB/s) for roofline
-# context; unknown chips report None.
+# Rough per-chip peaks (dense matmul TFLOP/s bf16, HBM GB/s, VPU T op/s
+# f32) for roofline context; unknown chips report None.  VPU peak =
+# 8 sublanes x 128 lanes x 4 ALUs x clock (the elementwise ceiling that
+# bounds the continuous Relief kernels; the discrete engine is bounded
+# by the matmul peak instead).
 _PEAKS = {
-    "TPU v4": (275.0, 1200.0),
-    "TPU v5 lite": (394.0, 819.0),
-    "TPU v5e": (394.0, 819.0),
-    "TPU v5p": (459.0, 2765.0),
-    "TPU v6 lite": (918.0, 1640.0),
-    "TPU v6e": (918.0, 1640.0),
+    "TPU v4": (275.0, 1200.0, 3.8),
+    "TPU v5 lite": (394.0, 819.0, 3.8),
+    "TPU v5e": (394.0, 819.0, 3.8),
+    "TPU v5p": (459.0, 2765.0, 7.5),
+    "TPU v6 lite": (918.0, 1640.0, 3.8),
+    "TPU v6e": (918.0, 1640.0, 3.8),
 }
 
 
@@ -45,8 +48,30 @@ def roofline() -> tuple[float | None, float | None]:
     kind = device_kind()
     for prefix, peaks in _PEAKS.items():
         if kind.startswith(prefix):
-            return peaks
+            return peaks[:2]
     return None, None
+
+
+def vpu_peak_tops() -> float | None:
+    """Peak VPU f32 throughput (T op/s) for the first device."""
+    kind = device_kind()
+    for prefix, peaks in _PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks[2]
+    return None
+
+
+def continuous_fraction_of_peak(n: int, p: int, seconds: float,
+                                ops_per_element: float = 9.0
+                                ) -> float | None:
+    """Fraction of the VPU roofline achieved by a continuous Relief fit:
+    both passes touch n^2 * p elements with ~`ops_per_element` VPU ops
+    (sub, abs, mul, reduce-add in pass 1; + weight multiply and two-axis
+    reduce in pass 2)."""
+    peak = vpu_peak_tops()
+    if peak is None or seconds <= 0:
+        return None
+    return (float(n) * n * p * ops_per_element / seconds) / (peak * 1e12)
 
 
 @dataclass
