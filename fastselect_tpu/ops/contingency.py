@@ -244,6 +244,7 @@ class StagedColumnStats:
         # int8 staging when codes fit (4x less tunnel traffic)
         dt = np.int8 if s <= 127 else np.int32
         self._tiles = []
+        self._margs = []
         for i, t0 in enumerate(range(0, self.p_pad, self.tile)):
             blk = np.zeros((self.n, self.tile), dt)
             end = min(t0 + self.tile, self.p)
@@ -251,6 +252,12 @@ class StagedColumnStats:
                 blk[:, :end - t0] = X_enc[:, t0:end]
             with execution_context(self._devs[i % len(self._devs)]):
                 self._tiles.append(jax.device_put(blk))
+                if self.s >= 3:
+                    # per-feature marginals, staged once: the column
+                    # statistics then contract only states 1.. and
+                    # recover state 0 (exact) — (s-1)/s of the matmul
+                    self._margs.append(
+                        _tile_marginals(self._tiles[-1], s=self.s))
 
     def _reduce(self, tables, stat):
         n_real = np.float32(self.n)
@@ -265,6 +272,9 @@ class StagedColumnStats:
         from ..utils.backend import execution_context
 
         v32 = np.asarray(v_enc, np.int32)
+        sub = self.s >= 3  # state-0-dropped contraction (see __init__)
+        mv = (np.bincount(v32, minlength=s_v).astype(np.float32)
+              if sub else None)
         vohs = {}
         pending = []
         for i, xt in enumerate(self._tiles):
@@ -273,10 +283,17 @@ class StagedColumnStats:
                 if id(dev) not in vohs:
                     # jitted one-hot: eager device ops are pathologically
                     # slow on some runtimes, and this runs per column
-                    vohs[id(dev)] = _onehot_target(
-                        jax.device_put(v32), s=s_v)
-                tables = _staged_tables_tile(xt, vohs[id(dev)],
-                                             s_x=self.s, s_y=s_v)
+                    vd = jax.device_put(v32)
+                    vohs[id(dev)] = (_onehot_target_sub(vd, s=s_v) if sub
+                                     else _onehot_target(vd, s=s_v))
+                if sub:
+                    tables = _staged_tables_tile_sub(
+                        xt, vohs[id(dev)], self._margs[i],
+                        jnp.asarray(mv), np.float32(self.n),
+                        s_x=self.s, s_y=s_v)
+                else:
+                    tables = _staged_tables_tile(xt, vohs[id(dev)],
+                                                 s_x=self.s, s_y=s_v)
                 # async dispatch: every device's tiles run concurrently;
                 # the host pulls results only after all are queued
                 pending.append(self._reduce(tables, stat))
@@ -316,6 +333,49 @@ def _staged_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
         preferred_element_type=jnp.float32,
     )
     return counts.reshape(tile, s_x, s_y)
+
+
+@partial(jax.jit, static_argnames=("s_x", "s_y"))
+def _staged_tables_tile_sub(Xt, voh_sub, mx, mv, n_real,
+                            *, s_x: int, s_y: int):
+    """State-0-dropped twin of ``_staged_tables_tile``: contract only
+    states 1.. of both sides ((s_x-1)(s_y-1)/(s_x s_y) of the matmul)
+    and recover state-0 row/column from the marginals ``mx`` (tile, s_x,
+    staged once) and ``mv`` (s_y,).  Exact integer arithmetic in f32."""
+    n, tile = Xt.shape
+    sxm, sym = s_x - 1, s_y - 1
+    xoh = jax.nn.one_hot(Xt.astype(jnp.int32) - 1, sxm,
+                         dtype=_OH_DTYPE).reshape(n, tile * sxm)
+    sub = jax.lax.dot_general(
+        xoh, voh_sub,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tile, sxm, sym)
+    col0 = mx[:, 1:] - sub.sum(axis=2)          # (tile, s_x-1)
+    row0 = mv[None, 1:] - sub.sum(axis=1)       # (tile, s_y-1)
+    c00 = (n_real - mx[:, 1:].sum(-1) - mv[1:].sum()
+           + sub.sum(axis=(1, 2)))              # (tile,)
+    top = jnp.concatenate([c00[:, None, None], row0[:, None, :]],
+                          axis=-1)              # (tile, 1, s_y)
+    bot = jnp.concatenate([col0[:, :, None], sub], axis=-1)
+    return jnp.concatenate([top, bot], axis=1)  # (tile, s_x, s_y)
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _tile_marginals(Xt, *, s):
+    """Per-feature state counts (tile, s) of one staged tile."""
+    n = Xt.shape[0]
+    return jax.lax.dot_general(
+        jax.nn.one_hot(Xt.astype(jnp.int32), s, dtype=_OH_DTYPE),
+        jnp.ones((n,), jnp.float32).astype(_OH_DTYPE),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _onehot_target_sub(v32, *, s):
+    """One-hot of states 1..s-1 only (state 0 rows are all-zero)."""
+    return jax.nn.one_hot(v32 - 1, s - 1, dtype=_OH_DTYPE)
 
 
 def pairwise_stat_columns(X_enc: np.ndarray, col: np.ndarray, s: int,

@@ -132,7 +132,11 @@ def feature_sharded_relief_discrete_scores(
             check_vma=False,
         )(cpad_a, yv_a, valid_a, n_real, cp)
 
-    scores = _run(jnp.asarray(cpad), jnp.asarray(yv), jnp.asarray(valid),
+    # bit-packed H2D staging (2 bits/value for SNP codes), unpacked
+    # on device; the mesh re-shards from the staging device
+    from ..ops.relief_discrete import stage_codes_device
+    cpad_dev = stage_codes_device(cpad, int(n_states))
+    scores = _run(cpad_dev, jnp.asarray(yv), jnp.asarray(valid),
                   np.float32(n), jnp.asarray(class_probs, jnp.float32))
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
 
