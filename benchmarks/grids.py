@@ -62,6 +62,15 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
             ("large_n", [(n, 100) for n in (10_000, 30_000, 50_000)]),
         ]
     ests = make_estimators()
+    def flush_rows():
+        with open(out, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["scenario", "estimator", "n_samples",
+                        "n_features", "seconds",
+                        "samples2_features_per_s", "peak_rss_mb",
+                        "peak_device_mb"])
+            w.writerows(rows)
+
     def record(scenario, name, n, p, t):
         rows.append((scenario, name, n, p,
                      round(t.seconds, 5), round(t.throughput, 1),
@@ -70,6 +79,7 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
         print(f"{scenario} {name} {n}x{p}: {t.seconds:.4f}s "
               f"rss={t.peak_rss_mb:.0f}MB dev={t.peak_device_mb:.0f}MB",
               flush=True)
+        flush_rows()  # crash-resilient: rows survive a failed later fit
 
     competitors = {}
     try:  # optional: rows appear only when skrebate is installed
@@ -114,12 +124,7 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
         t = timed_fit(lambda: MultiSURF(n_features_to_select=10), X, y)
         record("large_n_mixed", "MultiSURF", n, p, t)
 
-    with open(out, "w", newline="") as fh:
-        w = csv.writer(fh)
-        w.writerow(["scenario", "estimator", "n_samples", "n_features",
-                    "seconds", "samples2_features_per_s",
-                    "peak_rss_mb", "peak_device_mb"])
-        w.writerows(rows)
+    flush_rows()
     print(f"device={device_kind()}  wrote {len(rows)} rows -> {out}")
 
 

@@ -149,6 +149,60 @@ def stage_codes_device(codes: np.ndarray, n_states: int):
                          p=codes.shape[1])
 
 
+class PackedCodes:
+    """Code matrix resident in HBM in bit-packed form.
+
+    At GWAS scale the unpacked int8 matrix (e.g. 6 GB at 30k x 200k,
+    9.1 GB at the north-star) crowds HBM; the gather-mode v2 engine can
+    instead keep only the packed form (4x smaller at 2 bits) and unpack
+    each (n, ft) feature window on the fly inside jit — HBM residency
+    drops to packed + O(window) transients."""
+
+    __slots__ = ("packed", "bits", "n", "p")
+
+    def __init__(self, packed, bits: int, n: int, p: int):
+        self.packed = packed  # (n, ceil(p / (8//bits))) uint8 device
+        self.bits = bits
+        self.n = n
+        self.p = p
+
+    @property
+    def per(self) -> int:
+        return 8 // self.bits
+
+    @property
+    def p_eff(self) -> int:
+        """Unpacked width (>= p; the overhang decodes to state-0 pad
+        features, which always match and score exactly 0)."""
+        return self.packed.shape[1] * self.per
+
+
+def stage_codes_packed(codes: np.ndarray, n_states: int):
+    """PackedCodes when the cardinality allows, else a plain device
+    int8 array (same contract as :func:`stage_codes_device`)."""
+    codes = np.asarray(codes, np.int8)
+    pk = _pack_codes(codes, int(n_states))
+    if pk is None:
+        return jax.device_put(codes)
+    return PackedCodes(jax.device_put(pk[0]), pk[1], *codes.shape)
+
+
+def _codes_window(codes_a, off, ft, bits):
+    """(n, ft) int8 window starting at feature ``off`` (traced), from a
+    plain int8 matrix (bits=0) or a bit-packed one (off must be a
+    multiple of 8//bits)."""
+    n_rows = codes_a.shape[0]
+    if bits == 0:
+        return jax.lax.dynamic_slice(codes_a, (0, off), (n_rows, ft))
+    per = 8 // bits
+    win = jax.lax.dynamic_slice(codes_a, (0, off // per),
+                                (n_rows, ft // per))
+    mask = jnp.uint8((1 << bits) - 1)
+    parts = [((win >> jnp.uint8(bits * i)) & mask).astype(jnp.int8)
+             for i in range(per)]
+    return jnp.stack(parts, axis=-1).reshape(n_rows, ft)
+
+
 def _match_rows(ci, codes_a, ft, n_states):
     """Pass 1: exact match counts (TI, n_pad).
 
@@ -427,15 +481,20 @@ def _accumulate_plan(ci, codes_a, rules, plan, seg_starts, seg_lens,
     return parts.reshape(p_pad)
 
 
-def _match_rows_raw(ci, codes_a, ft, n_states):
+def _match_rows_raw(ci, codes_a, ft, n_states, bits=0):
     """Pass 1 over an UNPADDED feature axis: full ft tiles + one ragged
-    tail matmul (the huge-device-codes path cannot column-pad a copy)."""
+    tail matmul (the huge-device-codes path cannot column-pad a copy).
+    With ``bits`` set, ``codes_a`` is bit-packed and each window unpacks
+    on the fly; ``ci`` is always unpacked (to the same effective
+    width)."""
     ti = ci.shape[0]
-    n_raw, p_raw = codes_a.shape
+    n_raw = codes_a.shape[0]
+    per = 8 // bits if bits else 1
+    p_raw = codes_a.shape[1] * per
     nf = p_raw // ft
 
     def over_f(acc, f):
-        ca_t = jax.lax.dynamic_slice(codes_a, (0, f * ft), (n_raw, ft))
+        ca_t = _codes_window(codes_a, f * ft, ft, bits)
         ci_t = jax.lax.dynamic_slice(ci, (0, f * ft), (ti, ft))
         acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
                            _onehot_flat(ca_t, n_states))
@@ -446,8 +505,7 @@ def _match_rows_raw(ci, codes_a, ft, n_states):
         acc, _ = jax.lax.scan(over_f, acc, jnp.arange(nf))
     tail = p_raw - nf * ft
     if tail:
-        ca_t = jax.lax.dynamic_slice(codes_a, (0, nf * ft),
-                                     (n_raw, tail))
+        ca_t = _codes_window(codes_a, nf * ft, tail, bits)
         ci_t = jax.lax.dynamic_slice(ci, (0, nf * ft), (ti, tail))
         acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
                            _onehot_flat(ca_t, n_states))
@@ -455,7 +513,7 @@ def _match_rows_raw(ci, codes_a, ft, n_states):
 
 
 def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
-                            offs, ft, n_states, use_star):
+                            offs, ft, n_states, use_star, bits=0):
     """Gather-mode twin of ``_accumulate_plan`` for UNSORTED j-columns.
 
     At GWAS scale a sorted copy of the device code matrix does not fit
@@ -503,7 +561,7 @@ def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
 
     def over_f(_, off):
         ci_t = jax.lax.dynamic_slice(ci, (0, off), (ti, ft))
-        ca_t = jax.lax.dynamic_slice(codes_a, (0, off), (n_raw, ft))
+        ca_t = _codes_window(codes_a, off, ft, bits)
         p_sum = jnp.zeros((ti, sft), acc_dtype)
         for parts_m, coeff in staged:
             q = jnp.zeros((ti, sft), _ACC_DTYPE)
@@ -527,22 +585,31 @@ def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
 
 
 @partial(jax.jit, static_argnames=(
-    "algo", "use_star", "k", "ft", "n_states", "plan"))
+    "algo", "use_star", "k", "ft", "n_states", "plan", "bits"))
 def _relief_discrete_block_v2g(cpad, yv, valid, sidx, yi, vi, iid,
                                n_real, class_probs, idx_arrays, padvs,
                                offs, *, algo, use_star, k, ft, n_states,
-                               plan):
+                               plan, bits=0):
     """One virtually-sorted focal block against the UNSORTED, UNPADDED
     code matrix (the huge-device-codes streamed path: no sorted or
-    padded copy exists — focal rows and class segments are gathered)."""
+    padded copy exists — focal rows and class segments are gathered).
+    ``bits`` > 0 means ``cpad`` stays bit-packed in HBM; only the focal
+    rows and per-window j-slices are unpacked (the pad features decoded
+    from byte overhang always match -> exact-zero score, and they cancel
+    in D like any padded feature)."""
+    per = 8 // bits if bits else 1
+    p_eff = cpad.shape[1] * per
     ci = jnp.take(cpad, sidx, axis=0)
-    match = _match_rows_raw(ci, cpad, ft, n_states)
-    D = (jnp.int32(cpad.shape[1]) - match).astype(jnp.float32)
+    if bits:
+        ci = _codes_window(ci, jnp.int32(0), p_eff, bits)
+    match = _match_rows_raw(ci, cpad, ft, n_states, bits=bits)
+    D = (jnp.int32(p_eff) - match).astype(jnp.float32)
     rules = pair_weight_rules(
         D, yi, vi, iid, yv, valid, n_real, class_probs,
         algo=algo, use_star=use_star, k=k)
     return _accumulate_plan_gather(ci, cpad, rules, plan, idx_arrays,
-                                   padvs, offs, ft, n_states, use_star)
+                                   padvs, offs, ft, n_states, use_star,
+                                   bits=bits)
 
 
 def _block_scores_v2(ci, yi, vi, iid, codes_a, yv_a, valid_a, n_real,
@@ -877,15 +944,33 @@ _DEVICE_SORT_BUDGET = 6 << 30
 
 def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
                    *, algo, use_star, k, ti, ft):
-    """Huge-device-codes streamed v2: virtual sort via gathers, no copy."""
+    """Huge-device-codes streamed v2: virtual sort via gathers, no copy.
+
+    ``codes`` may be a :class:`PackedCodes` — then the code matrix stays
+    bit-packed in HBM and windows unpack on the fly."""
     classes, perm, segments, block_class, _ = layout
     cls_t = tuple(int(c) for c in classes)
     n_cls = len(classes)
     nb = -(-n // ti)
+    if isinstance(codes, PackedCodes):
+        bits, per = codes.bits, codes.per
+        codes = codes.packed
+    else:
+        bits, per = 0, 1
     nf = p // ft
     offs_l = [i * ft for i in range(nf)]
     if p - nf * ft:
-        offs_l.append(p - ft)  # overlap window covers the ragged tail
+        # overlap window(s) cover the ragged tail.  Packed windows must
+        # start on a byte boundary, so the tail start rounds down to a
+        # multiple of ``per``; if that still leaves < per features
+        # uncovered at the very end, one more window flush against the
+        # packed width catches them (overlapped features recompute
+        # identically; decoded overhang features score exactly 0).
+        t1 = (p - ft) // per * per
+        offs_l.append(t1)
+        if t1 + ft < p:
+            p_eff = -(-p // per) * per
+            offs_l.append(p_eff - ft)
     offs = jnp.asarray(offs_l, jnp.int32)
 
     yv = np.asarray(y_np, np.int32)
@@ -929,11 +1014,13 @@ def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
             jnp.asarray(vi), jnp.asarray(iid), np.float32(n), cp,
             idx_arrays, padvs, offs, algo=algo, use_star=use_star,
             k=int(k), ft=ft, n_states=int(n_states),
-            plan=plan_of[block_class[min(b, len(block_class) - 1)]]),
+            plan=plan_of[block_class[min(b, len(block_class) - 1)]],
+            bits=bits),
             np.float32)
     scores = np.zeros((p,), np.float64)
     for i, off in enumerate(offs_l):
-        scores[off:off + ft] = out[i]
+        end = min(off + ft, p)
+        scores[off:end] = out[i][:end - off]
     return scores.astype(np.float32)
 
 
@@ -945,7 +1032,8 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
     p_pad = _round_up(p, ft)
     y_np = np.asarray(y[:n], np.int32)
 
-    if (isinstance(codes, jax.Array)
+    if isinstance(codes, PackedCodes) or (
+            isinstance(codes, jax.Array)
             and 2.2 * codes.size > _DEVICE_SORT_BUDGET and p >= ft):
         return np.pad(_run_v2_gather(
             codes, y_np, layout, n, p, n_states, class_probs,
@@ -1045,6 +1133,9 @@ def relief_discrete_scores(
                 codes, n_states = encode_discrete(np.asarray(x))
         elif n_states is None:
             n_states = int(np.max(codes)) + 1
+        ti0, ft0 = _discrete_tile_sizes(n, p, int(n_states))
+        layout = _v2_layout(np.asarray(y), n, ti or ti0, algo,
+                            class_probs)
         if not isinstance(codes, jax.Array) and device is not None \
                 and device.platform != "cpu":
             # Uncommitted device_put once (lands on the default device set
@@ -1053,13 +1144,17 @@ def relief_discrete_scores(
             # link), then unpack/pad on device.  Every other transfer
             # route measured catastrophically slower here: committed
             # device_put(x, dev) ~25x slower, eager jnp.asarray > 1000x
-            # slower, jit-argument transfer ~30x.
+            # slower, jit-argument transfer ~30x.  Codes headed for the
+            # gather-mode v2 engine STAY packed in HBM (the unpacked
+            # matrix would crowd out the engine's workspace at GWAS
+            # scale) — windows unpack on the fly there.
             with phase("relief_discrete.h2d", work=n * p):
-                codes = stage_codes_device(codes, int(n_states))
-
-        ti0, ft0 = _discrete_tile_sizes(n, p, int(n_states))
-        layout = _v2_layout(np.asarray(y), n, ti or ti0, algo,
-                            class_probs)
+                if (layout is not None
+                        and 2.2 * n * p > _DEVICE_SORT_BUDGET
+                        and p >= (ft or ft0)):
+                    codes = stage_codes_packed(codes, int(n_states))
+                else:
+                    codes = stage_codes_device(codes, int(n_states))
         if layout is not None:
             # class-sorted v2: segment-restricted pass 2 (+ symmetric
             # pass 1 when the precomputed one-hot fits)

@@ -548,3 +548,31 @@ def test_staged_discrete_fit_matches_unstaged(rng):
         None, y, algo="multisurf", codes=codes, n_states=3,
         device=jax.devices()[0])
     assert_array_equal(host, staged)
+
+
+@pytest.mark.parametrize("s", [3, 5])  # 2-bit and 4-bit packing tiers
+def test_discrete_v2_gather_packed_matches_unpacked(monkeypatch, s, rng):
+    """Gather-mode v2 over a bit-packed HBM-resident code matrix (the
+    GWAS memory layout) must equal the unpacked gather path to ~1 ulp,
+    including ragged p with byte-boundary tail windows."""
+    import jax
+    import fastselect_tpu.ops.relief_discrete as RD
+    _force_v2(monkeypatch)
+    monkeypatch.setattr(RD, "_DEVICE_SORT_BUDGET", 1)  # force gather
+
+    n, p = 210, 37  # p not a multiple of ft nor of the packing ratio
+    codes = rng.randint(0, s, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    cp = np.bincount(y, minlength=2).astype(np.float32) / n
+    for algo, star, k in [("multisurf", True, 0), ("surf", False, 0),
+                          ("relieff", False, 5)]:
+        layout = RD._v2_layout(y, n, 64, algo, cp)
+        assert layout is not None
+        kw = dict(algo=algo, use_star=star, k=k, ti=64, ft=16,
+                  device=None)
+        plain = RD._run_v2(jax.device_put(codes), y, layout, n, p, s,
+                           cp, **kw)
+        pk = RD.stage_codes_packed(codes, s)
+        assert isinstance(pk, RD.PackedCodes)
+        packed = RD._run_v2(pk, y, layout, n, p, s, cp, **kw)
+        assert_allclose(packed, plain, atol=5e-7, err_msg=algo)
