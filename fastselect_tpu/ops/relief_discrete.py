@@ -118,6 +118,14 @@ def _pack_codes(codes: np.ndarray, n_states: int):
     n, p = codes.shape
     pb = -(-p // per)
     u = codes.astype(np.uint8, copy=False)
+    if p == pb * per and u.flags.c_contiguous:
+        # contiguous reshape view: ~1.4x faster than strided column
+        # slices at GWAS size (measured 2.6 s vs 3.7 s per 1.5 GB)
+        v = u.reshape(n, pb, per)
+        packed = v[:, :, 0].copy()
+        for i in range(1, per):
+            packed |= v[:, :, i] << np.uint8(bits * i)
+        return packed, bits
     packed = np.zeros((n, pb), np.uint8)
     for i in range(per):
         cols = u[:, i::per]
@@ -125,14 +133,38 @@ def _pack_codes(codes: np.ndarray, n_states: int):
     return packed, bits
 
 
+def _pack_codes_planes(codes: np.ndarray, n_states: int):
+    """Global-plane packing for FULL-matrix staging: byte column j holds
+    features {j, pb+j, 2*pb+j, ...}, so the device unpack is a plain
+    shift-mask-concat in natural feature order — no interleave relayout
+    (stack+reshape lowers to slow lane shuffles on TPU).  Host packing
+    reads contiguous plane slices (faster than strided columns too)."""
+    if n_states <= 4:
+        bits = 2
+    elif n_states <= 16:
+        bits = 4
+    else:
+        return None
+    per = 8 // bits
+    n, p = codes.shape
+    pb = -(-p // per)
+    u = codes.astype(np.uint8, copy=False)
+    packed = np.zeros((n, pb), np.uint8)
+    for i in range(per):
+        pl = u[:, i * pb:(i + 1) * pb]
+        packed[:, :pl.shape[1]] |= pl << np.uint8(bits * i)
+    return packed, bits
+
+
 @partial(jax.jit, static_argnames=("bits", "p"))
-def _unpack_codes(packed, *, bits, p):
-    """Device twin of :func:`_pack_codes`: (n, p) int8 state codes."""
+def _unpack_codes_planes(packed, *, bits, p):
+    """Device twin of :func:`_pack_codes_planes`: (n, p) int8 codes in
+    natural feature order via contiguous plane concatenation."""
     per = 8 // bits
     mask = jnp.uint8((1 << bits) - 1)
     parts = [((packed >> jnp.uint8(bits * i)) & mask).astype(jnp.int8)
              for i in range(per)]
-    out = jnp.stack(parts, axis=-1).reshape(packed.shape[0], -1)
+    out = jnp.concatenate(parts, axis=1)
     return out if out.shape[1] == p else out[:, :p]
 
 
@@ -141,12 +173,12 @@ def stage_codes_device(codes: np.ndarray, n_states: int):
     bit-packed for n_states <= 16, raw int8 otherwise.  Returns a device
     int8 array shaped like ``codes``."""
     codes = np.asarray(codes, np.int8)
-    packed = _pack_codes(codes, int(n_states))
+    packed = _pack_codes_planes(codes, int(n_states))
     if packed is None:
         return jax.device_put(codes)
     pk, bits = packed
-    return _unpack_codes(jax.device_put(pk), bits=bits,
-                         p=codes.shape[1])
+    return _unpack_codes_planes(jax.device_put(pk), bits=bits,
+                                p=codes.shape[1])
 
 
 class PackedCodes:
@@ -190,7 +222,15 @@ def stage_codes_packed(codes: np.ndarray, n_states: int):
 def _codes_window(codes_a, off, ft, bits):
     """(n, ft) int8 window starting at feature ``off`` (traced), from a
     plain int8 matrix (bits=0) or a bit-packed one (off must be a
-    multiple of 8//bits)."""
+    multiple of 8//bits).
+
+    Packed windows unpack in PLANE layout — the per planes concatenated
+    along the feature axis (local position i * (ft//per) + j holds
+    original feature off + j*per + i).  A natural-order unpack would be
+    a stack+reshape interleave, which lowers to slow lane shuffles on
+    TPU; plane concat is contiguous.  Pass 1 sums over features (order
+    irrelevant) and pass 2 callers remap scores host-side
+    (:func:`_plane_to_natural`)."""
     n_rows = codes_a.shape[0]
     if bits == 0:
         return jax.lax.dynamic_slice(codes_a, (0, off), (n_rows, ft))
@@ -200,7 +240,14 @@ def _codes_window(codes_a, off, ft, bits):
     mask = jnp.uint8((1 << bits) - 1)
     parts = [((win >> jnp.uint8(bits * i)) & mask).astype(jnp.int8)
              for i in range(per)]
-    return jnp.stack(parts, axis=-1).reshape(n_rows, ft)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _plane_to_natural(vec: np.ndarray, per: int) -> np.ndarray:
+    """Host-side inverse of the plane layout for one window's
+    per-feature outputs: position i*(ft//per)+j -> feature j*per+i."""
+    ftp = vec.shape[0] // per
+    return np.asarray(vec).reshape(per, ftp).T.reshape(-1)
 
 
 def _match_rows(ci, codes_a, ft, n_states):
@@ -484,18 +531,19 @@ def _accumulate_plan(ci, codes_a, rules, plan, seg_starts, seg_lens,
 def _match_rows_raw(ci, codes_a, ft, n_states, bits=0):
     """Pass 1 over an UNPADDED feature axis: full ft tiles + one ragged
     tail matmul (the huge-device-codes path cannot column-pad a copy).
-    With ``bits`` set, ``codes_a`` is bit-packed and each window unpacks
-    on the fly; ``ci`` is always unpacked (to the same effective
-    width)."""
-    ti = ci.shape[0]
+    With ``bits`` set, BOTH ``codes_a`` and ``ci`` are bit-packed and
+    each window unpacks on the fly in plane layout — match counts sum
+    over features, so the layout cancels as long as both sides share
+    it."""
     n_raw = codes_a.shape[0]
+    ti = ci.shape[0]
     per = 8 // bits if bits else 1
     p_raw = codes_a.shape[1] * per
     nf = p_raw // ft
 
     def over_f(acc, f):
         ca_t = _codes_window(codes_a, f * ft, ft, bits)
-        ci_t = jax.lax.dynamic_slice(ci, (0, f * ft), (ti, ft))
+        ci_t = _codes_window(ci, f * ft, ft, bits)
         acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
                            _onehot_flat(ca_t, n_states))
         return acc, None
@@ -506,7 +554,7 @@ def _match_rows_raw(ci, codes_a, ft, n_states, bits=0):
     tail = p_raw - nf * ft
     if tail:
         ca_t = _codes_window(codes_a, nf * ft, tail, bits)
-        ci_t = jax.lax.dynamic_slice(ci, (0, nf * ft), (ti, tail))
+        ci_t = _codes_window(ci, nf * ft, tail, bits)
         acc = acc + _dot_t(_onehot_flat(ci_t, n_states),
                            _onehot_flat(ca_t, n_states))
     return acc
@@ -560,7 +608,7 @@ def _accumulate_plan_gather(ci, codes_a, rules, plan, idx_arrays, padvs,
         staged.append((parts_m, coeff))
 
     def over_f(_, off):
-        ci_t = jax.lax.dynamic_slice(ci, (0, off), (ti, ft))
+        ci_t = _codes_window(ci, off, ft, bits)
         ca_t = _codes_window(codes_a, off, ft, bits)
         p_sum = jnp.zeros((ti, sft), acc_dtype)
         for parts_m, coeff in staged:
@@ -593,15 +641,14 @@ def _relief_discrete_block_v2g(cpad, yv, valid, sidx, yi, vi, iid,
     """One virtually-sorted focal block against the UNSORTED, UNPADDED
     code matrix (the huge-device-codes streamed path: no sorted or
     padded copy exists — focal rows and class segments are gathered).
-    ``bits`` > 0 means ``cpad`` stays bit-packed in HBM; only the focal
-    rows and per-window j-slices are unpacked (the pad features decoded
-    from byte overhang always match -> exact-zero score, and they cancel
-    in D like any padded feature)."""
+    ``bits`` > 0 means ``cpad`` stays bit-packed in HBM; the focal rows
+    are gathered packed and every (n, ft) window unpacks on the fly in
+    plane layout (the pad features decoded from byte overhang always
+    match -> exact-zero score, and they cancel in D like any padded
+    feature)."""
     per = 8 // bits if bits else 1
     p_eff = cpad.shape[1] * per
     ci = jnp.take(cpad, sidx, axis=0)
-    if bits:
-        ci = _codes_window(ci, jnp.int32(0), p_eff, bits)
     match = _match_rows_raw(ci, cpad, ft, n_states, bits=bits)
     D = (jnp.int32(p_eff) - match).astype(jnp.float32)
     rules = pair_weight_rules(
@@ -1020,7 +1067,8 @@ def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
     scores = np.zeros((p,), np.float64)
     for i, off in enumerate(offs_l):
         end = min(off + ft, p)
-        scores[off:end] = out[i][:end - off]
+        win = _plane_to_natural(out[i], per) if bits else out[i]
+        scores[off:end] = win[:end - off]
     return scores.astype(np.float32)
 
 
