@@ -185,7 +185,8 @@ def _assemble_x_dev(keep, n: int, p: int):
         return keep[0][1]
     zeros, upd = _jitted_xdev_helpers()
     buf = zeros(n=n, p=p)
-    for f0, xc in keep:
+    while keep:  # consume destructively: each chunk frees after its copy
+        f0, xc = keep.pop(0)
         buf = upd(buf, xc, np.int32(f0))
     return buf
 

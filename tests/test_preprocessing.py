@@ -62,3 +62,20 @@ def test_device_sweep_discrete_matches_host_probe(rng):
     assert an.n_states == 4
     np.testing.assert_array_equal(
         an.is_discrete, pp.detect_discrete_features(x, 10))
+
+
+def test_timed_fit_tracks_peak_rss(rng):
+    """Memory benchmarking contract: timed_fit samples host RSS during
+    the fit (reference publishes *_memory.png curves; BASELINE pins
+    ~400-500 MB flat for the Relief family)."""
+    from fastselect_tpu.utils.profiling import timed_fit
+    from fastselect_tpu import MultiSURF
+
+    X = rng.rand(120, 40)
+    y = rng.randint(0, 2, 120)
+    t = timed_fit(lambda: MultiSURF(n_features_to_select=5), X, y)
+    assert t.seconds > 0
+    assert t.peak_rss_mb > 10  # a real process RSS, not a stub
+    t2 = timed_fit(lambda: MultiSURF(n_features_to_select=5), X, y,
+                   track_memory=False)
+    assert t2.peak_rss_mb == 0.0
