@@ -47,6 +47,8 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
             raise ValueError(
                 "backend must be one of 'auto', 'tpu', 'cpu', or 'gpu'"
             )
+        from ..utils.preprocessing import _resolve_transfer_dtype
+        _resolve_transfer_dtype(getattr(self, "transfer_dtype", None))
         check_min_samples(n_samples, self._algo_name)
         return resolve_n_features_to_select(
             self.n_features_to_select, n_features)
@@ -192,7 +194,9 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         """
         tpu_bound = self.backend in ("auto", "tpu") and tpu_available()
         if X.size >= 1 << 22 and tpu_bound:
-            return analyze_features_device(X, self.discrete_limit)
+            return analyze_features_device(
+                X, self.discrete_limit,
+                transfer_dtype=getattr(self, "transfer_dtype", None))
         x_an = X.astype(np.float32, copy=False) if tpu_bound else X
         is_disc = detect_discrete_features(x_an, self.discrete_limit)
         return FeatureAnalysis(is_disc, compute_recip_ranges(x_an))

@@ -34,6 +34,12 @@ class MultiSURF(BaseReliefSelector):
         its own parallelism.
     verbose : bool, default=False
         Print progress messages during fit.
+    transfer_dtype : {None, 'float32', 'float16', 'bfloat16'}, default=None
+        Staging dtype for the host-to-device copy of continuous data on
+        TPU fits.  'float16'/'bfloat16' halve transfer bytes (the
+        end-to-end bottleneck for p >> n fits on bandwidth-limited
+        links) at a ~1e-3 relative cost in score precision; the default
+        stages exact float32.
 
     Attributes
     ----------
@@ -55,6 +61,7 @@ class MultiSURF(BaseReliefSelector):
         discrete_limit: int = 10,
         n_jobs: int = -1,
         verbose: bool = False,
+        transfer_dtype: str | None = None,
     ):
         self.n_features_to_select = n_features_to_select
         self.backend = backend
@@ -62,6 +69,7 @@ class MultiSURF(BaseReliefSelector):
         self.discrete_limit = discrete_limit
         self.n_jobs = n_jobs
         self.verbose = verbose
+        self.transfer_dtype = transfer_dtype
 
     def _score(self, X, y, analysis, n_select):
         self.effective_backend_ = self._resolve_backend()

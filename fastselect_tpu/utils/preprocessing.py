@@ -77,6 +77,7 @@ class FeatureAnalysis:
 
 def _chunk_stats_fn(xc):
     import jax.numpy as jnp
+    xc = xc.astype(jnp.float32)  # no-op for f32; upcast for f16 staging
     xs = jnp.sort(xc, axis=0)
     newv = jnp.concatenate(
         [jnp.ones((1, xc.shape[1]), bool), xs[1:] != xs[:-1]], axis=0)
@@ -124,7 +125,9 @@ _XDEV_BUDGET_BYTES = 4 << 30
 
 
 def analyze_features_device(x: np.ndarray, discrete_limit: int,
-                            f_chunk: int | None = None) -> FeatureAnalysis:
+                            f_chunk: int | None = None,
+                            transfer_dtype: str | None = None
+                            ) -> FeatureAnalysis:
     """One device sweep computing discreteness, ranges, AND discrete state
     codes per feature chunk.
 
@@ -137,9 +140,16 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     uploaded f32 chunks are kept and assembled into a device-resident X
     (``FeatureAnalysis.x_dev``) so the engine never re-uploads — host
     continuous data crosses the host↔device boundary exactly once.
+
+    ``transfer_dtype='float16'`` (or ``'bfloat16'``) halves the H2D
+    bytes by staging chunks half-width and upcasting to float32 on
+    device.  Ranges, discreteness, and scores are then computed from the
+    rounded values (~1e-3 relative effect on continuous scores); exact
+    float32 staging remains the default.
     """
     import jax
 
+    stage_dtype = _resolve_transfer_dtype(transfer_dtype)
     stats, encode = _jitted_helpers()
     n, p = x.shape
     if f_chunk is None:
@@ -152,7 +162,7 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     n_states = 1
     for f0 in range(0, p, f_chunk):
         xc = jax.device_put(np.ascontiguousarray(
-            x[:, f0:f0 + f_chunk], dtype=np.float32))
+            x[:, f0:f0 + f_chunk], dtype=stage_dtype))
         xs, newv, n_unique, rg = stats(xc)
         nu = np.asarray(n_unique)
         d = nu <= discrete_limit
@@ -177,11 +187,26 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     return FeatureAnalysis(is_disc, recip, codes, n_states)
 
 
+def _resolve_transfer_dtype(transfer_dtype: str | None):
+    """Numpy dtype used for the H2D staging copy (default: exact f32)."""
+    if transfer_dtype is None or transfer_dtype == "float32":
+        return np.float32
+    if transfer_dtype == "float16":
+        return np.float16
+    if transfer_dtype == "bfloat16":
+        import ml_dtypes
+        return ml_dtypes.bfloat16
+    raise ValueError(
+        "transfer_dtype must be None, 'float32', 'float16', or "
+        f"'bfloat16', got {transfer_dtype!r}")
+
+
 def _assemble_x_dev(keep, n: int, p: int):
-    """Concatenate kept analysis chunks into one (n, p) device array."""
+    """Concatenate kept analysis chunks into one (n, p) f32 device
+    array (half-width staged chunks upcast on device)."""
     if not keep:
         return None
-    if len(keep) == 1:
+    if len(keep) == 1 and keep[0][1].dtype == np.float32:
         return keep[0][1]
     zeros, upd = _jitted_xdev_helpers()
     buf = zeros(n=n, p=p)
@@ -204,7 +229,8 @@ def _jitted_xdev_helpers():
             return jnp.zeros((n, p), jnp.float32)
 
         def _upd(buf, xc, f0):
-            return jax.lax.dynamic_update_slice(buf, xc, (0, f0))
+            return jax.lax.dynamic_update_slice(
+                buf, xc.astype(jnp.float32), (0, f0))
 
         _xdev_helpers = (jax.jit(_zeros, static_argnames=("n", "p")),
                          jax.jit(_upd, donate_argnums=(0,)))

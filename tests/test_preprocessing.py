@@ -79,3 +79,38 @@ def test_timed_fit_tracks_peak_rss(rng):
     t2 = timed_fit(lambda: MultiSURF(n_features_to_select=5), X, y,
                    track_memory=False)
     assert t2.peak_rss_mb == 0.0
+
+
+def test_half_width_staging_matches_f32(rng):
+    """transfer_dtype='float16' stages chunks half-width and upcasts on
+    device: x_dev comes back float32 and within f16 rounding of X."""
+    x = rng.rand(32, 96).astype(np.float32)
+    an16 = pp.analyze_features_device(x, discrete_limit=5, f_chunk=32,
+                                      transfer_dtype="float16")
+    assert an16.x_dev is not None
+    assert np.asarray(an16.x_dev).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(an16.x_dev), x, rtol=2e-3)
+    an32 = pp.analyze_features_device(x, discrete_limit=5, f_chunk=32)
+    np.testing.assert_allclose(an16.recip, an32.recip, rtol=2e-3)
+    np.testing.assert_array_equal(an16.is_discrete, an32.is_discrete)
+
+
+def test_half_width_staging_bf16_and_single_chunk(rng):
+    x = rng.rand(16, 24).astype(np.float32)
+    an = pp.analyze_features_device(x, discrete_limit=5, f_chunk=64,
+                                    transfer_dtype="bfloat16")
+    assert an.x_dev is not None
+    assert np.asarray(an.x_dev).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(an.x_dev), x, rtol=1e-2)
+
+
+def test_transfer_dtype_validation():
+    from fastselect_tpu import MultiSURF
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        MultiSURF(transfer_dtype="int8").fit(
+            np.random.rand(30, 8), np.arange(30) % 2)
+    # valid values pass through cleanly on any backend
+    m = MultiSURF(n_features_to_select=2, transfer_dtype="float16")
+    m.fit(np.random.rand(30, 8), np.arange(30) % 2)
+    assert m.top_features_.shape == (2,)
