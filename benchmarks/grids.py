@@ -45,13 +45,40 @@ def classification_data(n, p, seed=42):
 
 
 def snp_data(n, p, seed=0):
+    # generate int8 row blocks: randint's int64 intermediate would be
+    # 8x the matrix (48 GB at 30k x 200k)
     rs = np.random.RandomState(seed)
-    return (rs.randint(0, 3, (n, p)).astype(np.int8),
-            rs.randint(0, 2, n))
+    X = np.empty((n, p), np.int8)
+    step = max(1, (1 << 28) // max(p, 1))
+    for r0 in range(0, n, step):
+        r1 = min(n, r0 + step)
+        X[r0:r1] = rs.randint(0, 3, (r1 - r0, p), dtype=np.int8)
+    return X, rs.randint(0, 2, n)
 
 
-def run(out="benchmarks/results.csv", large=False, flagship=False):
+def run(out="benchmarks/results.csv", large=False, flagship=False,
+        only=None, append=False, shapes=None):
     rows = []
+    if append:
+        # re-running a subset: keep existing rows that are NOT re-run by
+        # this invocation (their fresh rows replace the old).  The tunnel
+        # client leaks host RSS per transfer and degrades in-process, so
+        # honest large-scale rows come from one process per scenario (or
+        # per shape, via --shapes).
+        try:
+            with open(out, newline="") as fh:
+                kept = [tuple(r) for r in csv.reader(fh)][1:]
+        except OSError:
+            kept = []
+        rerun = set(only) if only else None
+
+        def replaced(r):
+            if rerun is None:
+                return True  # no scenario filter: full rewrite
+            if r[0] not in rerun:
+                return False
+            return shapes is None or (int(r[2]), int(r[3])) in shapes
+        rows = [r for r in kept if not replaced(r)]
     grids = [
         ("p_dominant", [(100, p) for p in (200, 400, 600, 800, 1000)]),
         ("n_dominant", [(n, 100) for n in (200, 400, 600, 800, 1000)]),
@@ -61,6 +88,11 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
             ("large_p", [(100, p) for p in (100_000, 300_000, 500_000)]),
             ("large_n", [(n, 100) for n in (10_000, 30_000, 50_000)]),
         ]
+    if only:
+        grids = [(s, shp) for s, shp in grids if s in only]
+    if shapes is not None:
+        grids = [(s, [sh for sh in shp if sh in shapes])
+                 for s, shp in grids]
     ests = make_estimators()
     def flush_rows():
         with open(out, "w", newline="") as fh:
@@ -96,24 +128,37 @@ def run(out="benchmarks/results.csv", large=False, flagship=False):
         pass
 
     for scenario, shapes in grids:
+        # large transfer-bound fits: best-of-3 (tunnel H2D stalls by
+        # multiples on occasion; the minimum is the reproducible number)
+        reps = 3 if scenario in ("large_p", "large_n") else 1
         for n, p in shapes:
             X, y = classification_data(n, p)
             for name, make in ests.items():
-                record(scenario, name, n, p, timed_fit(make, X, y))
+                record(scenario, name, n, p,
+                       timed_fit(make, X, y, repeats=reps))
+            if scenario == "large_p":
+                # half-width H2D staging: at p >> n the fit is purely
+                # transfer-bound, so float16 staging ~halves the bytes
+                record(scenario, "MultiSURF (f16 xfer)", n, p, timed_fit(
+                    lambda: MultiSURF(n_features_to_select=10,
+                                      transfer_dtype="float16"), X, y,
+                    repeats=reps))
             if scenario in ("p_dominant", "n_dominant"):
                 for name, make in competitors.items():
                     record(scenario, name, n, p,
                            timed_fit(make, X, y, warmup=False))
 
-    if flagship:
+    if flagship and (only is None or "flagship_snp" in only):
         # paper.md:44 shape class: all-discrete genotypes, n >> and p >>.
         for n, p in [(10_000, 50_000), (30_000, 200_000)]:
+            if shapes is not None and (n, p) not in shapes:
+                continue
             X, y = snp_data(n, p)
             t = timed_fit(
                 lambda: MultiSURF(n_features_to_select=10), X, y)
             record("flagship_snp", "MultiSURF", n, p, t)
 
-    if large:
+    if large and (only is None or "large_n_mixed" in only):
         # mixed discrete+continuous beyond the old 24k hybrid cap
         # (blocked hybrid engine streams focal super-blocks)
         rs = np.random.RandomState(1)
@@ -136,5 +181,19 @@ if __name__ == "__main__":
                     "sweeps from the published plots")
     ap.add_argument("--flagship", action="store_true",
                     help="include the 30k x 200k SNP workload")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated scenario filter (re-run subset)")
+    ap.add_argument("--append", action="store_true",
+                    help="keep existing CSV rows for scenarios not re-run")
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated NxP filter within --only "
+                    "scenarios (one process per shape dodges the tunnel "
+                    "client's per-transfer host leak)")
     a = ap.parse_args()
-    run(a.out, a.large, a.flagship)
+    shp = None
+    if a.shapes:
+        shp = {tuple(int(v) for v in sh.split("x"))
+               for sh in a.shapes.split(",")}
+    run(a.out, a.large, a.flagship,
+        only=a.only.split(",") if a.only else None, append=a.append,
+        shapes=shp)
