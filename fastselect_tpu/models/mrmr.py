@@ -95,6 +95,33 @@ class mRMR(BaseEstimator, TransformerMixin):
             raise RuntimeError(
                 "backend='tpu' was selected, but no TPU device is available.")
 
+    @property
+    def redundancy_matrix_(self):
+        """(p, p) pairwise MI with zero diagonal (None above
+        FULL_REDUNDANCY_MAX_P).  Accelerator fits keep it device-resident
+        through the greedy selection; first access materialises it to a
+        host ndarray (one O(p^2) transfer) and frees the device copy."""
+        host = getattr(self, "_redundancy_host", None)
+        if host is None and getattr(self, "_redundancy_dev", None) \
+                is not None:
+            p = self.n_features_in_
+            host = np.asarray(self._redundancy_dev,
+                              np.float64)[:p, :p]
+            self._redundancy_host = host
+            self._redundancy_dev = None  # free the HBM copy
+        return host
+
+    @redundancy_matrix_.setter
+    def redundancy_matrix_(self, value):
+        self._redundancy_host = value
+        self._redundancy_dev = None
+
+    def __getstate__(self):
+        # device arrays don't pickle: materialise (and free) them first
+        if getattr(self, "_redundancy_dev", None) is not None:
+            _ = self.redundancy_matrix_
+        return dict(self.__dict__)
+
     def fit(self, X: np.ndarray, y: np.ndarray):
         """Select features greedily by the mRMR criterion."""
         X, y = validate_data(self, X, y, dtype=None, y_numeric=True,
@@ -110,14 +137,14 @@ class mRMR(BaseEstimator, TransformerMixin):
         X_enc, y_enc, unique_vals = _encode_union(X, y)
         self.unique_vals_ = unique_vals
 
+        from ..utils.backend import resolve_backend, default_device
+        device = default_device(resolve_backend(self.backend, "mRMR"))
         if self.n_features_in_ > FULL_REDUNDANCY_MAX_P:
             # GWAS scale: relevance vector only; redundancy columns of
             # the (few) selected features stream on demand against
             # device tiles staged ONCE for the whole fit.
             from ..ops.contingency import StagedColumnStats
-            from ..utils.backend import resolve_backend, default_device
             self.redundancy_matrix_ = None
-            device = default_device(resolve_backend(self.backend, "mRMR"))
             s = int(max(X_enc.max() if X_enc.size else 0, y_enc.max())) + 1
             staged = StagedColumnStats(X_enc, s, device=device)
             relevance = staged.stats_vs(y_enc, s, "mi")
@@ -126,6 +153,26 @@ class mRMR(BaseEstimator, TransformerMixin):
                 col = np.array(staged.column(j, "mi"), dtype=np.float64)
                 col[j] = 0.0  # self-entry I(X_j;X_j)=H(X_j): match the
                 return col    # full-matrix contract (fill_diagonal 0)
+        elif device is not None and device.platform != "cpu":
+            # Accelerator: the (p, p) redundancy matrix stays DEVICE-
+            # resident (zero diagonal by construction) — the greedy loop
+            # gathers only the k columns it selects, so the O(p^2) f32
+            # matrix never crosses the link during fit (~100 MB at
+            # p=5000; the dominant fit cost on tunnelled runtimes).
+            # ``redundancy_matrix_`` materialises to host lazily.
+            import math
+            from ..ops.contingency import (matrix_column,
+                                           pairwise_stat_matrix_device)
+            relevance = mi_ops.calculate_mi_relevance(
+                X_enc, y_enc, backend=self.backend, unit="bit")
+            s = int(max(X_enc.max() if X_enc.size else 0, y_enc.max())) + 1
+            R_dev, _ = pairwise_stat_matrix_device(
+                X_enc, s, "mi", device=device, log_base=math.log(2.0))
+            self._redundancy_host = None  # refit: drop any stale copy
+            self._redundancy_dev = R_dev
+
+            def redundancy_column(j):
+                return matrix_column(R_dev, j, self.n_features_in_)
         else:
             relevance, redundancy = mi_ops.calculate_mi_matrices(
                 X_enc, y_enc, backend=self.backend, unit="bit")

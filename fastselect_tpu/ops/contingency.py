@@ -187,11 +187,12 @@ def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,
 
     n, p = X_enc.shape
     # tile so the (n, tile*s_x) one-hot stays ~256 MB and the dispatch
-    # count stays low (each call is a full H2D+launch round trip)
+    # count stays low (each call is a full H2D+launch round trip);
+    # int8 staging when the cardinality allows (4x less link traffic)
     budget = (256 << 20) // 4
     tile = int(min(8192, max(8, budget // max(n * s_x, 1))))
     p_pad = _round_up(p, tile)
-    Xp = np.zeros((n, p_pad), np.int32)
+    Xp = np.zeros((n, p_pad), np.int8 if s_x <= 127 else np.int32)
     Xp[:, :p] = X_enc
     outs = []
     with execution_context(device):
@@ -399,6 +400,81 @@ def pairwise_stat_columns(X_enc: np.ndarray, col: np.ndarray, s: int,
         return np.asarray(out, dtype=np.float64)
 
 
+def _pair_tiles(X_enc: np.ndarray, s: int):
+    """Padded feature tiles for the pairwise builders.
+
+    (tile*s)^2 count block ~400 MB / (n, tile*s) one-hot ~256 MB caps;
+    big tiles keep the MXU fed and the per-call dispatch overhead low.
+    Tiles stage as int8 when the cardinality allows — 4x less H2D
+    traffic (the dominant cost of a pairwise matrix on tunnelled
+    runtimes); the one-hot comparisons consume int8 directly."""
+    n, p = X_enc.shape
+    lim_block = int((400 << 20) // 4) ** 0.5
+    lim_onehot = ((256 << 20) // 4) // max(n, 1)
+    tile = int(min(2048, max(4, min(lim_block, lim_onehot) // max(s, 1))))
+    p_pad = _round_up(p, tile)
+    Xp = np.zeros((n, p_pad), np.int8 if s <= 127 else np.int32)
+    Xp[:, :p] = X_enc
+    return tile, Xp, p_pad // tile
+
+
+@jax.jit
+def _symmetrize(A):
+    """stat(i,j) == stat(j,i) bitwise, zero diagonal: mirror the upper
+    triangle (same contract as the host assembly below)."""
+    U = jnp.triu(A, 1)
+    return U + U.T
+
+
+@partial(jax.jit, static_argnames=("col_len",))
+def _matrix_col(R, j, *, col_len):
+    return jax.lax.dynamic_slice(R, (0, j), (col_len, 1))[:, 0]
+
+
+def pairwise_stat_matrix_device(X_enc: np.ndarray, s: int, stat: str,
+                                device=None,
+                                log_base: float = math.log(2.0)):
+    """Device-RESIDENT (p, p) pairwise statistic with zero diagonal.
+
+    Same tile math as :func:`pairwise_stat_matrix` (entries are bitwise
+    identical), but the assembled matrix never leaves the accelerator —
+    greedy consumers (mRMR) read the k columns they select via
+    :func:`matrix_column` instead of pulling the full O(p^2) f32 matrix
+    over the link (~100 MB at p=5000; the dominant fit cost measured on
+    tunnelled runtimes).  Returns (R_dev, p): R_dev is (p_pad, p_pad)
+    f32 on ``device``."""
+    from ..utils.backend import execution_context
+
+    n, p = X_enc.shape
+    tile, Xp, nt = _pair_tiles(X_enc, s)
+    with execution_context(device):
+        n_real = jnp.float32(n)
+        tiles = [jax.device_put(
+            np.ascontiguousarray(Xp[:, t * tile:(t + 1) * tile]))
+            for t in range(nt)]
+        rows = []
+        for ti in range(nt):
+            row = []
+            for tj in range(nt):
+                if tj < ti:
+                    # filled by the jitted mirror; zeros keep the
+                    # concatenate shapes static
+                    row.append(jnp.zeros((tile, tile), jnp.float32))
+                else:
+                    row.append(_pair_tile_stat(
+                        tiles[ti], tiles[tj], n_real,
+                        s=s, stat=stat, log_base=log_base))
+            rows.append(jnp.concatenate(row, axis=1))
+        R = _symmetrize(jnp.concatenate(rows, axis=0))
+    return R, p
+
+
+def matrix_column(R_dev, j: int, p: int) -> np.ndarray:
+    """Column j of a device-resident pairwise matrix, as host float64."""
+    col = _matrix_col(R_dev, jnp.int32(j), col_len=R_dev.shape[0])
+    return np.asarray(col, np.float64)[:p]
+
+
 def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
                          device=None, log_base: float = math.log(2.0),
                          symmetric: bool = True) -> np.ndarray:
@@ -423,15 +499,8 @@ def pairwise_stat_matrix(X_enc: np.ndarray, s: int, stat: str,
                 upper = np.triu(out, 1)
                 out = upper + upper.T + np.diag(np.diag(out))
             return out
-    # (tile*s)^2 count block ~400 MB / (n, tile*s) one-hot ~256 MB caps;
-    # big tiles keep the MXU fed and the per-call dispatch overhead low
-    lim_block = int((400 << 20) // 4) ** 0.5
-    lim_onehot = ((256 << 20) // 4) // max(n, 1)
-    tile = int(min(2048, max(4, min(lim_block, lim_onehot) // max(s, 1))))
-    p_pad = _round_up(p, tile)
-    Xp = np.zeros((n, p_pad), np.int32)
-    Xp[:, :p] = X_enc
-    nt = p_pad // tile
+    tile, Xp, nt = _pair_tiles(X_enc, s)
+    p_pad = nt * tile
 
     out = np.zeros((p_pad, p_pad), np.float64)
     with execution_context(device):

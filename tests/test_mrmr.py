@@ -177,3 +177,70 @@ def test_encode_union_bincount_path_matches_sorted(rng):
     np.testing.assert_array_equal(vocab_i, vocab_f)
     np.testing.assert_array_equal(Xe_i, Xe_f)
     np.testing.assert_array_equal(ye_i, ye_f)
+
+
+def test_device_resident_matrix_matches_host(rng):
+    """pairwise_stat_matrix_device: entries bitwise-match the host
+    builder (zero diagonal), and matrix_column reads match columns."""
+    import math
+    from fastselect_tpu.ops.contingency import (matrix_column,
+                                                pairwise_stat_matrix,
+                                                pairwise_stat_matrix_device)
+    X = rng.randint(0, 5, (80, 23)).astype(np.int32)
+    host = pairwise_stat_matrix(X, 5, "mi", device=None,
+                                log_base=math.log(2.0))
+    np.fill_diagonal(host, 0.0)
+    R_dev, p = pairwise_stat_matrix_device(X, 5, "mi", device=None,
+                                           log_base=math.log(2.0))
+    assert p == 23
+    dev = np.asarray(R_dev, np.float64)[:p, :p]
+    assert_allclose(dev, host, rtol=0, atol=0)  # bitwise
+    for j in (0, 7, 22):
+        assert_allclose(matrix_column(R_dev, j, p), host[:, j],
+                        rtol=0, atol=0)
+
+
+def test_greedy_over_device_matrix_matches_fit(rng):
+    """The device-column greedy (accelerator fit path) selects the same
+    features as the host full-matrix fit."""
+    import math
+    from fastselect_tpu.ops.contingency import (matrix_column,
+                                                pairwise_stat_matrix_device)
+    X = rng.randint(0, 4, (100, 30))
+    y = rng.randint(0, 2, 100)
+    ref = mRMR(n_features_to_select=8).fit(X, y)
+    Xe, ye, _ = _encode_union(X, y)
+    s = int(max(Xe.max(), ye.max())) + 1
+    R_dev, p = pairwise_stat_matrix_device(Xe, s, "mi", device=None,
+                                           log_base=math.log(2.0))
+    est = mRMR(n_features_to_select=8)
+    est.n_features_in_ = p
+    got = est._greedy_select(ref.relevance_scores_,
+                             lambda j: matrix_column(R_dev, j, p))
+    np.testing.assert_array_equal(got, ref.top_features_)
+
+
+def test_redundancy_matrix_lazy_materialisation(rng):
+    """Device-resident redundancy materialises on attribute access and
+    survives pickling (fit path contract)."""
+    import math
+    import pickle
+    from fastselect_tpu.ops.contingency import pairwise_stat_matrix_device
+    X = rng.randint(0, 4, (60, 12))
+    y = rng.randint(0, 2, 60)
+    est = mRMR(n_features_to_select=4).fit(X, y)
+    host_matrix = est.redundancy_matrix_.copy()
+    # simulate the accelerator fit path: device handle, no host copy
+    Xe, ye, _ = _encode_union(X, y)
+    s = int(max(Xe.max(), ye.max())) + 1
+    R_dev, p = pairwise_stat_matrix_device(Xe, s, "mi", device=None,
+                                           log_base=math.log(2.0))
+    est._redundancy_host = None
+    est._redundancy_dev = R_dev
+    assert_allclose(est.redundancy_matrix_, host_matrix, rtol=0, atol=0)
+    assert est._redundancy_dev is None  # freed after materialisation
+    est._redundancy_host = None
+    est._redundancy_dev = R_dev
+    clone = pickle.loads(pickle.dumps(est))
+    assert_allclose(clone.redundancy_matrix_, host_matrix,
+                    rtol=0, atol=0)
