@@ -182,6 +182,23 @@ class CFS(BaseEstimator, SelectorMixin):
                     col[j] = 0.0
                     col_cache[j] = col
                 return col_cache[j]
+        elif device is not None and device.platform != "cpu":
+            # Accelerator: the (p, p) SU matrix stays device-resident —
+            # best-first and the prune read columns of SELECTED features
+            # only, so the O(p^2) f32 matrix never crosses the link
+            # (same design as mRMR's device-resident redundancy).
+            from ..ops.contingency import (matrix_column,
+                                           pairwise_stat_matrix_device)
+            R_dev, _ = pairwise_stat_matrix_device(X_encoded, s, "su",
+                                                   device=device)
+            dev_cache: dict[int, np.ndarray] = {}
+
+            def get_col(j):
+                j = int(j)
+                if j not in dev_cache:
+                    dev_cache[j] = matrix_column(
+                        R_dev, j, self.n_features_in_).astype(np.float32)
+                return dev_cache[j]
         else:
             r_ff_matrix = pairwise_stat_matrix(
                 X_encoded, s, "su", device=device).astype(np.float32)

@@ -115,3 +115,21 @@ def test_streaming_su_columns_match_full_matrix(monkeypatch, rng):
     np.testing.assert_array_equal(stream.selected_indices_,
                                   full.selected_indices_)
     np.testing.assert_allclose(stream.merit_, full.merit_, rtol=1e-6)
+
+
+def test_device_resident_su_matrix_matches_host(rng):
+    """The device-resident SU matrix (accelerator CFS path) matches the
+    host builder bitwise on the same backend, column by column."""
+    import math
+    from numpy.testing import assert_allclose
+    from fastselect_tpu.ops.contingency import (matrix_column,
+                                                pairwise_stat_matrix,
+                                                pairwise_stat_matrix_device)
+    X = rng.randint(0, 6, (70, 19)).astype(np.int32)
+    host = pairwise_stat_matrix(X, 6, "su", device=None)
+    np.fill_diagonal(host, 0.0)
+    R_dev, p = pairwise_stat_matrix_device(X, 6, "su", device=None)
+    assert p == 19
+    for j in (0, 5, 18):
+        assert_allclose(matrix_column(R_dev, j, p).astype(np.float32),
+                        host[:, j].astype(np.float32), rtol=0, atol=0)
