@@ -13,7 +13,6 @@ host-side 3^k lookup table.
 from __future__ import annotations
 
 from collections import Counter
-from itertools import combinations, islice
 
 import numpy as np
 from sklearn.base import BaseEstimator, ClassifierMixin
@@ -21,7 +20,7 @@ from sklearn.model_selection import StratifiedKFold
 from sklearn.utils.multiclass import unique_labels
 from sklearn.utils.validation import check_X_y, check_array, check_is_fitted
 
-from ..ops.mdr_op import batch_balanced_accuracy
+from ..ops.mdr_op import MDRFoldScorer, batch_balanced_accuracy, unrank_combos
 from ..utils.backend import resolve_backend, default_device
 
 MAX_K_FOR_KERNEL = 6
@@ -69,19 +68,18 @@ class MDR(BaseEstimator, ClassifierMixin):
         self.backend = backend
         self.verbose = verbose
 
-    def _score_combos(self, X_train, y_train, chunk, device):
-        """Combo-chunk balanced accuracies; shards the chunk across the
+    def _make_fold_scorer(self, Xi, w_case, w_ctrl, device):
+        """All-folds combo-chunk scorer; shards the combo axis across the
         mesh when more than one accelerator is visible (combos are
         independent — the reference is single-GPU only, MDR.py:273)."""
         if self.effective_backend_ == "tpu":
             import jax
             tpus = [d for d in jax.devices() if d.platform != "cpu"]
             if len(tpus) > 1:
-                from ..parallel import sharded_batch_balanced_accuracy
-                return sharded_batch_balanced_accuracy(
-                    X_train, y_train, chunk, self.k, devices=tpus)
-        return batch_balanced_accuracy(
-            X_train, y_train, chunk, self.k, device=device)
+                from ..parallel import ShardedMDRFoldScorer
+                return ShardedMDRFoldScorer(Xi, w_case, w_ctrl, self.k,
+                                            devices=tpus)
+        return MDRFoldScorer(Xi, w_case, w_ctrl, self.k, device=device)
 
     def _create_lookup_table(self, X, y, interaction_indices):
         """3^k binary LUT (reference MDR.py:176-195): cell is high-risk iff
@@ -141,44 +139,47 @@ class MDR(BaseEstimator, ClassifierMixin):
         Xi = X.astype(np.int32)
 
         skf = StratifiedKFold(n_splits=self.cv, shuffle=True, random_state=42)
-        fold_best_models = []
-        fold_test_bas = []
+        splits = list(skf.split(X, y))
+        n_folds = len(splits)
         if self.verbose:
             print(
                 f"CV with backend={effective.upper()}: "
                 f"{self.k}-way search over {n_combos} combos"
             )
 
-        for fold_i, (train_idx, test_idx) in enumerate(skf.split(X, y),
-                                                       start=1):
-            X_train, X_test = Xi[train_idx], X[test_idx]
-            y_train, y_test = y[train_idx], y[test_idx]
+        # Chunk-outer / fold-inner: combos are enumerated ONCE (by
+        # vectorised arithmetic unranking — no per-combo Python, unlike
+        # the reference's per-fit itertools materialisation, MDR.py:
+        # 247-250) and each chunk is scored for every fold in one
+        # dispatch via per-fold train-sample weights.
+        w_case = np.zeros((n_folds, n_samples), np.float32)
+        w_ctrl = np.zeros((n_folds, n_samples), np.float32)
+        for f, (train_idx, _) in enumerate(splits):
+            w_case[f, train_idx] = (y[train_idx] == 1)
+            w_ctrl[f, train_idx] = (y[train_idx] != 1)
+        scorer = self._make_fold_scorer(Xi, w_case, w_ctrl, device)
 
-            # Stream combos in chunks: never hold all C(p, k) rows at once
-            # (the reference materialises them, MDR.py:247-250 — a memory
-            # hazard it acknowledges).
-            best_ba = -1.0
-            best_combo = None
-            gen = combinations(range(n_features), self.k)
-            while True:
-                chunk = np.fromiter(
-                    (i for tup in islice(gen, _COMBO_CHUNK) for i in tup),
-                    dtype=np.int32,
-                )
-                if chunk.size == 0:
-                    break
-                chunk = chunk.reshape(-1, self.k)
-                bas = self._score_combos(X_train, y_train, chunk, device)
-                idx = int(np.argmax(bas))
-                if bas[idx] > best_ba:
-                    best_ba = float(bas[idx])
-                    best_combo = tuple(int(v) for v in chunk[idx])
+        best_ba = np.full(n_folds, -1.0)
+        fold_best_models: list[tuple | None] = [None] * n_folds
+        rows = np.arange(n_folds)
+        for r0 in range(0, n_combos, _COMBO_CHUNK):
+            r1 = min(r0 + _COMBO_CHUNK, n_combos)
+            chunk = unrank_combos(n_features, self.k, r0, r1)
+            bas = scorer(chunk)                      # (n_folds, r1-r0)
+            idx = bas.argmax(axis=1)                 # first max wins ties
+            vals = bas[rows, idx].astype(np.float64)
+            for f in np.nonzero(vals > best_ba)[0]:
+                best_ba[f] = vals[f]
+                fold_best_models[f] = tuple(int(v) for v in chunk[idx[f]])
 
-            fold_best_models.append(best_combo)
-            lookup = self._create_lookup_table(X[train_idx], y_train,
+        fold_test_bas = []
+        for fold_i, (train_idx, test_idx) in enumerate(splits, start=1):
+            best_combo = fold_best_models[fold_i - 1]
+            lookup = self._create_lookup_table(X[train_idx], y[train_idx],
                                                best_combo)
             test_ba = _balanced_accuracy(
-                y_test, self._internal_predict(X_test, best_combo, lookup))
+                y[test_idx],
+                self._internal_predict(X[test_idx], best_combo, lookup))
             fold_test_bas.append(test_ba)
 
             if self.verbose:

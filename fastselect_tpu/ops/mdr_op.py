@@ -13,7 +13,8 @@ fold sizes that differ by one sample reuse the same compiled program.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
+from math import comb
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,43 @@ import numpy as np
 
 def _round_up(v: int, m: int) -> int:
     return ((v + m - 1) // m) * m
+
+
+@lru_cache(maxsize=32)
+def _comb_cache(p: int, r: int) -> np.ndarray:
+    """comb(v, r) for v in 0..p, exact int64."""
+    vals = [comb(v, r) for v in range(p + 1)]
+    if vals[-1] >= (1 << 62):  # pragma: no cover - absurd search size
+        raise OverflowError(f"C({p},{r}) exceeds int64")
+    return np.asarray(vals, np.int64)
+
+
+def unrank_combos(p: int, k: int, r0: int, r1: int) -> np.ndarray:
+    """Rows r0..r1 (exclusive) of ``itertools.combinations(range(p), k)``
+    in lexicographic order, computed arithmetically with vectorised
+    binomial unranking — no per-combo Python.  The reference materialises
+    the whole C(p, k) array per fit (``MDR.py:247-250``); enumerating it
+    lazily in Python (round 3) still cost cv * C(p, k) tuple iteration.
+
+    Position i holds the smallest x > prev with
+    ``comb(p-prev-1, k-i) - comb(p-x-1, k-i) > rank_remaining`` — found
+    for the whole chunk at once with a searchsorted over the monotone
+    comb(v, k-i) table (hockey-stick identity for the cumulative count).
+    """
+    m = r1 - r0
+    out = np.empty((m, k), np.int32)
+    rem = np.arange(r0, r1, dtype=np.int64)
+    prev = np.full((m,), -1, np.int64)
+    for i in range(k):
+        cb = _comb_cache(p, k - i)
+        top = cb[p - prev - 1]          # combos left in this suffix block
+        A = top - rem                   # pick largest v with cb[v] < A
+        v = np.searchsorted(cb, A, side="left") - 1
+        x = p - v - 1
+        rem -= top - cb[v + 1]
+        out[:, i] = x
+        prev = x
+    return out
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -54,6 +92,89 @@ def _mdr_tile_ba(X, w_case, w_ctrl, combos_tile, *, k: int):
     sens = tp / jnp.maximum(total_case, 1.0)
     spec = tn / jnp.maximum(total_ctrl, 1.0)
     return jnp.where(ok, (sens + spec) / 2.0, 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "tc"))
+def _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, *, k: int, tc: int):
+    """Balanced accuracies for a combo chunk across ALL folds at once.
+
+    X: (n_pad, p) int32; w_case/w_ctrl: (F, n_pad) f32 per-fold sample
+    weights (0 off-fold / padded); combos: (c_pad, k) with c_pad a
+    multiple of tc.  Returns (F, c_pad) f32.
+
+    The expensive part — gathering k columns per combo and building the
+    one-hot cell tensor — happens once per tile and is contracted
+    against every fold's weights in one einsum, instead of once per fold
+    (the reference re-runs its kernel per fold, ``MDR.py:262-276``).
+    """
+    n_cells = 3 ** k
+    powers = jnp.asarray([3 ** (k - 1 - j) for j in range(k)], jnp.int32)
+
+    def per_tile(t):
+        tile = jax.lax.dynamic_slice(combos, (t * tc, 0), (tc, k))
+        gathered = jnp.take(X, tile, axis=1)                 # (n, tc, k)
+        cells = (gathered * powers[None, None, :]).sum(-1)   # (n, tc)
+        oh = jax.nn.one_hot(cells, n_cells, dtype=jnp.float32)
+        case = jnp.einsum("fn,ncl->fcl", w_case, oh,
+                          preferred_element_type=jnp.float32)
+        ctrl = jnp.einsum("fn,ncl->fcl", w_ctrl, oh,
+                          preferred_element_type=jnp.float32)
+        total_case = case.sum(-1)                            # (F, tc)
+        total_ctrl = ctrl.sum(-1)
+        ok = (total_case > 0) & (total_ctrl > 0)
+        thr = total_case / jnp.maximum(total_ctrl, 1.0)
+        high = (ctrl == 0) | (case / jnp.maximum(ctrl, 1e-30)
+                              > thr[..., None])
+        tp = jnp.where(high, case, 0.0).sum(-1)
+        tn = jnp.where(~high, ctrl, 0.0).sum(-1)
+        sens = tp / jnp.maximum(total_case, 1.0)
+        spec = tn / jnp.maximum(total_ctrl, 1.0)
+        return jnp.where(ok, (sens + spec) / 2.0, 0.0)      # (F, tc)
+
+    nt = combos.shape[0] // tc
+    parts = jax.lax.map(per_tile, jnp.arange(nt))           # (nt, F, tc)
+    return parts.transpose(1, 0, 2).reshape(w_case.shape[0], -1)
+
+
+class MDRFoldScorer:
+    """Stages (X, per-fold weights) on device ONCE and scores streamed
+    combo chunks for every fold per call — chunk-outer / fold-inner,
+    one dispatch per chunk."""
+
+    def __init__(self, X: np.ndarray, w_case: np.ndarray,
+                 w_ctrl: np.ndarray, k: int, device=None):
+        from ..utils.backend import execution_context
+        n, _ = X.shape
+        f = w_case.shape[0]
+        self.k = int(k)
+        self.n_cells = 3 ** self.k
+        n_pad = _round_up(n, 64)
+        self.tc = int(max(8, min(1024, (48 * 1024 * 1024)
+                                  // (n_pad * self.n_cells * 4))))
+        Xp = np.zeros((n_pad, X.shape[1]), np.int32)
+        Xp[:n] = X
+        wc = np.zeros((f, n_pad), np.float32)
+        wc[:, :n] = w_case
+        wl = np.zeros((f, n_pad), np.float32)
+        wl[:, :n] = w_ctrl
+        self.device = device
+        self._ctx = execution_context
+        with execution_context(device):
+            put = (jax.device_put if device is not None
+                   and device.platform != "cpu" else jnp.asarray)
+            self.Xd, self.wc, self.wl = put(Xp), put(wc), put(wl)
+
+    def __call__(self, combos: np.ndarray) -> np.ndarray:
+        """(F, n_combos) balanced accuracies for one combo chunk."""
+        m = combos.shape[0]
+        c_pad = _round_up(m, self.tc)
+        combos_p = np.zeros((c_pad, self.k), np.int32)
+        combos_p[:m] = combos
+        with self._ctx(self.device):
+            out = _mdr_chunk_ba_folds(
+                self.Xd, self.wc, self.wl, jnp.asarray(combos_p),
+                k=self.k, tc=self.tc)
+            return np.asarray(out, np.float32)[:, :m]
 
 
 def batch_balanced_accuracy(X: np.ndarray, y: np.ndarray,

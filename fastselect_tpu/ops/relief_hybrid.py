@@ -179,6 +179,10 @@ def relief_hybrid_scores(
     ti, tj, ftc = _tiles(_round_up(n_pad0, 256) if n_pad0 >= 256 else n_pad0,
                          _round_up(max(p_c, 1), 128))
     n_pad = _round_up(n_pad0, max(ti, tj))
+    if n_pad > HYBRID_SQUARE_MAX_N:
+        nb, n_pad = _focal_block_rows(n_pad, max(ti, tj))
+    else:
+        nb = n_pad
     p_c_pad = _round_up(max(p_c, 1), ftc)
     _, ftd = _discrete_tile_sizes(n_pad, max(p_d, 1), n_states)
     p_d_pad = _round_up(max(p_d, 1), ftd)
@@ -199,8 +203,6 @@ def relief_hybrid_scores(
 
     kw = dict(algo=algo, use_star=use_star, k=int(n_neighbors),
               ti=ti, tj=tj, ftc=ftc, ftd=ftd, s=n_states)
-    nb = (n_pad if n_pad <= HYBRID_SQUARE_MAX_N
-          else _focal_block_rows(n_pad, max(ti, tj)))
     if v2_plans is not None and nb == n_pad:
         segs_all = list(segments) + [(0, n_pad)]
         segs_t = tuple(int(s0) for s0, _ in segs_all)

@@ -292,18 +292,34 @@ def _pallas_engine_blocked(xp, yv, valid, recip2, disc2, n_real,
 
 
 def _focal_block_rows(n_pad: int, ti: int,
-                      budget_bytes: int = 3 << 30) -> int:
-    """Largest divisor of n_pad (in ti-row units) whose (nb, n_pad) f32
-    D+W blocks fit the budget."""
+                      budget_bytes: int = 3 << 30) -> tuple[int, int]:
+    """(nb, n_pad') focal super-block rows plus the (possibly enlarged)
+    padded sample count, with nb dividing n_pad'.
+
+    Picks the largest block whose (nb, n_pad) f32 D+W pair fits the
+    budget, padding the sample axis a little when that avoids a tiny
+    block.  The old divisor-only rule collapsed badly when n_pad/ti was
+    nearly prime: 30208 rows = 2*59 tiles forced nb=512 (59 sequential
+    super-blocks with per-block top_k/rules overhead) while 50176 rows
+    got nb=7168 — the source of the non-monotonic large-n ReliefF
+    throughput."""
     if n_pad * n_pad * 8 <= budget_bytes or n_pad <= ti:
-        return n_pad
-    m = n_pad // ti
+        return n_pad, n_pad
+    m = (n_pad + ti - 1) // ti
     cap = max(1, budget_bytes // (8 * n_pad * ti))
-    best = 1
-    for d in range(1, m + 1):
-        if m % d == 0 and d <= cap:
-            best = d
-    return best * ti
+    if cap >= m:
+        return m * ti, m * ti
+    # candidate block sizes d (in ti units): minimise padded work
+    # (m'^2 ~ both axes grow), then prefer fewer blocks
+    best = None
+    for d in range(1, cap + 1):
+        m2 = -(-m // d) * d
+        key = (m2, -(-m // d))
+        if best is None or key < best[:2]:
+            best = (key[0], key[1], d)
+    d = best[2]
+    m2 = -(-m // d) * d
+    return d * ti, m2 * ti
 
 
 def relief_pallas_scores(
@@ -331,6 +347,7 @@ def relief_pallas_scores(
     ti, tj, ft = _tiles(_round_up(n_pad, 256) if n_pad >= 256 else n_pad,
                         _round_up(p, 128))
     n_pad = _round_up(n_pad, max(ti, tj))
+    nb, n_pad = _focal_block_rows(n_pad, max(ti, tj))
     p_pad = _round_up(p, ft)
 
     if isinstance(x, jax.Array):
@@ -367,7 +384,6 @@ def relief_pallas_scores(
                     ti=ti, tj=tj, ft=ft, cont=cont)
         else:
             from ..utils.logging import phase
-            nb = _focal_block_rows(n_pad, max(ti, tj))
             with phase(f"relief_pallas.engine[{algo}]",
                        work=float(n) * n * p):
                 if nb == n_pad:

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .sharded import make_mesh, shard_map
-from ..ops.mdr_op import _mdr_tile_ba, _round_up
+from ..ops.mdr_op import _mdr_chunk_ba_folds, _mdr_tile_ba, _round_up
 
 
 def sharded_batch_balanced_accuracy(
@@ -77,3 +77,66 @@ def sharded_batch_balanced_accuracy(
                           jnp.asarray(w_ctrl), jnp.asarray(combos_p),
                           k=k, tc=tc))
     return out[:n_combos]
+
+
+class ShardedMDRFoldScorer:
+    """Combo-sharded, all-folds-at-once MDR chunk scorer.
+
+    Stages the genotype matrix and the per-fold train weights on the mesh
+    ONCE (replicated — combos are the sharded axis), then scores each
+    streamed combo chunk for every CV fold in one dispatch.  This is the
+    chunk-outer / fold-inner structure: the expensive per-combo one-hot
+    cell tensor is built once per chunk and contracted against all folds'
+    weights, instead of re-launching the whole search per fold like the
+    reference (``MDR.py:262-276``).
+    """
+
+    def __init__(self, X: np.ndarray, w_case: np.ndarray,
+                 w_ctrl: np.ndarray, k: int, *, devices=None,
+                 mesh: Mesh | None = None):
+        if mesh is None:
+            mesh = make_mesh(devices)
+        self.mesh = mesh
+        self.ndev = mesh.devices.size
+        self.axis = mesh.axis_names[0]
+        self.k = int(k)
+        n_cells = 3 ** self.k
+        n = X.shape[0]
+        f = w_case.shape[0]
+        n_pad = _round_up(n, 64)
+        self.tc = int(max(8, min(1024,
+                                 (48 * 1024 * 1024) // (n_pad * n_cells * 4))))
+        Xp = np.zeros((n_pad, X.shape[1]), np.int32)
+        Xp[:n] = X
+        wc = np.zeros((f, n_pad), np.float32)
+        wc[:, :n] = w_case
+        wl = np.zeros((f, n_pad), np.float32)
+        wl[:, :n] = w_ctrl
+        self.Xd = jnp.asarray(Xp)
+        self.wc = jnp.asarray(wc)
+        self.wl = jnp.asarray(wl)
+
+        @partial(jax.jit, static_argnames=("k", "tc"))
+        def _run(Xd, wc_, wl_, combos_a, *, k, tc):
+            def local_fn(cmb):
+                return _mdr_chunk_ba_folds(Xd, wc_, wl_, cmb, k=k, tc=tc)
+
+            return shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P(self.axis, None),),
+                out_specs=P(None, self.axis),
+                check_vma=False,
+            )(combos_a)
+
+        self._run = _run
+
+    def __call__(self, combos: np.ndarray) -> np.ndarray:
+        """(F, n_combos) balanced accuracies for one combo chunk."""
+        m = combos.shape[0]
+        c_pad = _round_up(m, self.tc * self.ndev)
+        combos_p = np.zeros((c_pad, self.k), np.int32)
+        combos_p[:m] = combos
+        out = np.asarray(self._run(self.Xd, self.wc, self.wl,
+                                   jnp.asarray(combos_p),
+                                   k=self.k, tc=self.tc))
+        return out[:, :m]

@@ -127,3 +127,67 @@ try:
         np.testing.assert_array_equal(m.predict(X), expected)
 except ImportError:  # pragma: no cover
     pass
+
+
+# -- round 4: chunk-outer/fold-inner search machinery --------------------
+
+def test_unrank_combos_matches_itertools():
+    from itertools import combinations
+
+    from fastselect_tpu.ops.mdr_op import unrank_combos
+
+    for p, k in [(5, 1), (6, 2), (9, 3), (10, 4), (7, 6)]:
+        expected = np.array(list(combinations(range(p), k)), np.int32)
+        got = unrank_combos(p, k, 0, expected.shape[0])
+        assert_array_equal(got, expected)
+        # arbitrary interior window
+        r0, r1 = expected.shape[0] // 3, 2 * expected.shape[0] // 3
+        assert_array_equal(unrank_combos(p, k, r0, r1), expected[r0:r1])
+
+
+def test_fold_scorer_matches_per_fold_batch():
+    from itertools import combinations
+
+    from fastselect_tpu.ops.mdr_op import MDRFoldScorer
+
+    rng = np.random.RandomState(3)
+    X = rng.randint(0, 3, (40, 7)).astype(np.int32)
+    y = rng.randint(0, 2, 40)
+    y[:4] = [0, 1, 0, 1]
+    combos = np.array(list(combinations(range(7), 2)), np.int32)
+
+    folds = [np.arange(0, 30), np.arange(10, 40), np.arange(0, 40, 2)]
+    w_case = np.zeros((3, 40), np.float32)
+    w_ctrl = np.zeros((3, 40), np.float32)
+    for f, tr in enumerate(folds):
+        w_case[f, tr] = (y[tr] == 1)
+        w_ctrl[f, tr] = (y[tr] != 1)
+
+    got = MDRFoldScorer(X, w_case, w_ctrl, 2)(combos)
+    assert got.shape == (3, combos.shape[0])
+    for f, tr in enumerate(folds):
+        expected = batch_balanced_accuracy(X[tr], y[tr], combos, 2)
+        np.testing.assert_allclose(got[f], expected, atol=1e-6)
+
+
+def test_sharded_fold_scorer_matches_single():
+    from itertools import combinations
+
+    from fastselect_tpu.ops.mdr_op import MDRFoldScorer
+    from fastselect_tpu.parallel import ShardedMDRFoldScorer
+
+    rng = np.random.RandomState(7)
+    X = rng.randint(0, 3, (30, 8)).astype(np.int32)
+    y = rng.randint(0, 2, 30)
+    y[:2] = [0, 1]
+    combos = np.array(list(combinations(range(8), 3)), np.int32)
+    w_case = np.zeros((2, 30), np.float32)
+    w_ctrl = np.zeros((2, 30), np.float32)
+    w_case[0, :20] = (y[:20] == 1)
+    w_ctrl[0, :20] = (y[:20] != 1)
+    w_case[1, 10:] = (y[10:] == 1)
+    w_ctrl[1, 10:] = (y[10:] != 1)
+
+    single = MDRFoldScorer(X, w_case, w_ctrl, 3)(combos)
+    sharded = ShardedMDRFoldScorer(X, w_case, w_ctrl, 3)(combos)
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
