@@ -119,9 +119,11 @@ def _target_tables_tile(Xt, yoh, *, s_x: int, s_y: int):
     return counts.reshape(tile, s_x, s_y)
 
 
-@partial(jax.jit, static_argnames=("s", "stat", "log_base"))
-def _pair_tile_stat(Xi, Xj, n_real, *, s: int, stat: str, log_base: float):
-    """(ti, tj) statistic matrix from the joint tables of all column pairs.
+def pair_tables(Xi, Xj, n_real, *, s: int):
+    """(ti, tj, s, s) joint count tables of every column pair — the ONE
+    builder behind both the single-device and the mesh-sharded pairwise
+    statistic matrices (entries are exact integers in f32, so the two
+    paths are bitwise-identical by construction).
 
     State 0 is dropped from both matmul operands and its row/column
     recovered from the (cheap) per-feature marginals: the joint table
@@ -173,11 +175,24 @@ def _pair_tile_stat(Xi, Xj, n_real, *, s: int, stat: str, log_base: float):
                                row0[..., None, :]], axis=-1)
         bot = jnp.concatenate([col0[..., :, None], sub], axis=-1)
         counts = jnp.concatenate([top, bot], axis=-2)  # (ti, tj, s, s)
+    return counts
+
+
+def pair_tables_reduce(counts, n_real, *, stat: str, log_base: float):
+    """Reduce pair tables to the requested statistic matrix."""
     if stat == "mi":
         return mi_from_tables(counts, n_real, log_base)
     if stat == "su":
         return su_from_tables(counts, n_real)
     raise ValueError(stat)  # pragma: no cover
+
+
+@partial(jax.jit, static_argnames=("s", "stat", "log_base"))
+def _pair_tile_stat(Xi, Xj, n_real, *, s: int, stat: str, log_base: float):
+    """(ti, tj) statistic matrix from the joint tables of all column
+    pairs (shared builder: :func:`pair_tables`)."""
+    return pair_tables_reduce(pair_tables(Xi, Xj, n_real, s=s), n_real,
+                              stat=stat, log_base=log_base)
 
 
 def feature_target_tables(X_enc: np.ndarray, y_enc: np.ndarray,

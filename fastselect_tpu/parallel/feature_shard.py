@@ -156,14 +156,15 @@ def sharded_pairwise_stat_matrix(
     psum-free — pairs are independent).
 
     Each device owns a block-row: its feature shard against ALL
-    features, built from one-hot contingency matmuls over (tile, tile)
-    sub-blocks.  Counts are exact integers in f32, so every entry is
-    identical to the single-device ``ops.contingency`` builders.
+    features, built from the SAME tile-table builder as the
+    single-device path (``ops.contingency.pair_tables`` — state-0-
+    dropped contraction included, so the two can't drift and every
+    entry is bitwise-identical by construction).
     Per-chip memory: O(p^2/ndev + n*tile*s); comms: the final gather
     only.
     """
     import math as _math
-    from ..ops.contingency import mi_from_tables, su_from_tables
+    from ..ops.contingency import pair_tables, pair_tables_reduce
 
     if log_base is None:
         log_base = _math.log(2.0)
@@ -185,35 +186,22 @@ def sharded_pairwise_stat_matrix(
 
     @partial(jax.jit, static_argnames=("s_", "stat_", "tile_"))
     def _run(xa, n_real, *, s_, stat_, tile_):
-        # int8 stays int8 in HBM; slices upcast per (n, tile) block just
-        # before their one-hot (a whole-array astype would materialise a
+        # int8 stays int8 in HBM; slices upcast per (n, tile) block
+        # inside pair_tables (a whole-array astype would materialise a
         # replicated int32 copy, 4x the staged memory)
-
-        def pair_block(xi_oh, xj):
-            xj_oh = jax.nn.one_hot(xj.astype(jnp.int32), s_,
-                                   dtype=jnp.bfloat16).reshape(
-                n, tile_ * s_)
-            counts = jax.lax.dot_general(
-                xi_oh, xj_oh,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(tile_, s_, tile_, s_).transpose(0, 2, 1, 3)
-            if stat_ == "mi":
-                return mi_from_tables(counts, n_real, log_base)
-            return su_from_tables(counts, n_real)
 
         def local_fn(xi_shard, xall):
             def over_i(i):
                 Xi = jax.lax.dynamic_slice(xi_shard, (0, i * tile_),
                                            (n, tile_))
-                xi_oh = jax.nn.one_hot(Xi.astype(jnp.int32), s_,
-                                       dtype=jnp.bfloat16).reshape(
-                    n, tile_ * s_)
 
                 def over_j(j):
                     Xj = jax.lax.dynamic_slice(xall, (0, j * tile_),
                                                (n, tile_))
-                    return pair_block(xi_oh, Xj)
+                    counts = pair_tables(Xi, Xj, n_real, s=s_)
+                    return pair_tables_reduce(counts, n_real,
+                                              stat=stat_,
+                                              log_base=log_base)
 
                 return jax.lax.map(over_j,
                                    jnp.arange(p_pad // tile_))
