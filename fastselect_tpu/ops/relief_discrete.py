@@ -219,6 +219,56 @@ def stage_codes_packed(codes: np.ndarray, n_states: int):
     return PackedCodes(jax.device_put(pk[0]), pk[1], *codes.shape)
 
 
+def stage_codes_sharded(codes: np.ndarray, n_states: int, mesh,
+                        *, shard_axis: int):
+    """Shard-wise packed staging for the mesh layouts.
+
+    The host matrix is bit-packed (2/4 bits per value when the
+    cardinality allows) and ``device_put`` with a ``NamedSharding`` so
+    each device receives ONLY its own packed shard — the unpacked (n, p)
+    matrix never materialises on any single device, which the old
+    stage-on-one-chip path violated at exactly the scales the ring
+    layout exists for (it is auto-selected when codes exceed the
+    replication budget).  Consumers unpack their shard inside their
+    shard_map with :func:`_unpack_codes_planes`.
+
+    shard_axis 0 shards sample rows (ring layout: plane packing is
+    row-separable, pack once); shard_axis 1 shards feature columns
+    (feature-shard layout: each column shard packs independently so its
+    plane layout is self-contained).  Shard extents must divide the
+    padded axis (both callers construct them that way).
+
+    Returns (staged_device_array, bits); bits == 0 means packing was
+    unavailable (n_states > 16) and the staged array is raw int8,
+    still shard-wise.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    codes = np.asarray(codes, np.int8)
+    ndev = mesh.devices.size
+    axis_name = mesh.axis_names[0]
+    spec = P(axis_name, None) if shard_axis == 0 else P(None, axis_name)
+    sharding = NamedSharding(mesh, spec)
+    if shard_axis == 0:
+        pk = _pack_codes_planes(codes, int(n_states))
+        if pk is None:
+            return jax.device_put(codes, sharding), 0
+        return jax.device_put(pk[0], sharding), pk[1]
+    p = codes.shape[1]
+    pb = p // ndev
+    packs = []
+    bits = 0
+    for d in range(ndev):
+        pk = _pack_codes_planes(
+            np.ascontiguousarray(codes[:, d * pb:(d + 1) * pb]),
+            int(n_states))
+        if pk is None:
+            return jax.device_put(codes, sharding), 0
+        packs.append(pk[0])
+        bits = pk[1]
+    return jax.device_put(np.concatenate(packs, axis=1), sharding), bits
+
+
 def _codes_window(codes_a, off, ft, bits):
     """(n, ft) int8 window starting at feature ``off`` (traced), from a
     plain int8 matrix (bits=0) or a bit-packed one (off must be a

@@ -93,10 +93,17 @@ def feature_sharded_relief_discrete_scores(
     k = int(n_neighbors)
     s = int(n_states)
 
-    @jax.jit
-    def _run(cpad_a, yv_a, valid_a, n_real, cp):
-        def local_fn(c_shard, y_a, v_a, nr, cpl):
-            # c_shard: (n_pad, pb) — this device's feature slice.
+    @partial(jax.jit, static_argnames=("bits",))
+    def _run(cpk_a, yv_a, valid_a, n_real, cp, *, bits):
+        def local_fn(cpk_shard, y_a, v_a, nr, cpl):
+            # cpk_shard: this device's feature slice, bit-packed
+            # (n_pad, pb // (8//bits)) uint8 when bits > 0 (shard-wise
+            # staging — the unpacked matrix never exists on one device)
+            if bits:
+                c_shard = rd._unpack_codes_planes(cpk_shard, bits=bits,
+                                                  p=pb)
+            else:
+                c_shard = cpk_shard
             # Partial mismatches over MY features; psum makes it total.
             # _match_rows counts matches, so D needs the global p_pad:
             match_local = _match_rows(c_shard, c_shard, ft, s)
@@ -130,14 +137,16 @@ def feature_sharded_relief_discrete_scores(
             in_specs=(P(None, axis), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
-        )(cpad_a, yv_a, valid_a, n_real, cp)
+        )(cpk_a, yv_a, valid_a, n_real, cp)
 
-    # bit-packed H2D staging (2 bits/value for SNP codes), unpacked
-    # on device; the mesh re-shards from the staging device
-    from ..ops.relief_discrete import stage_codes_device
-    cpad_dev = stage_codes_device(cpad, int(n_states))
-    scores = _run(cpad_dev, jnp.asarray(yv), jnp.asarray(valid),
-                  np.float32(n), jnp.asarray(class_probs, jnp.float32))
+    # shard-wise bit-packed staging: every device receives only its own
+    # packed feature slice; the unpacked matrix never exists on one chip
+    from ..ops.relief_discrete import stage_codes_sharded
+    cpk_dev, bits = stage_codes_sharded(cpad, int(n_states), mesh,
+                                        shard_axis=1)
+    scores = _run(cpk_dev, jnp.asarray(yv), jnp.asarray(valid),
+                  np.float32(n), jnp.asarray(class_probs, jnp.float32),
+                  bits=bits)
     return np.asarray(scores, np.float32)[:p] / np.float32(n)
 
 

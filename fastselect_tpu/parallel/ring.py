@@ -143,27 +143,37 @@ def ring_relief_discrete_scores(
         class_probs = np.zeros((1,), np.float32)
 
     @partial(jax.jit,
-             static_argnames=("algo", "use_star", "k", "ft", "s"))
-    def _run(cpad_a, yv_a, valid_a, n_real, cp,
-             *, algo, use_star, k, ft, s):
-        def local_fn(c_blk, y_blk, v_blk, nr, cpl):
-            # c_blk: this device's sample block (nb, p_pad)
+             static_argnames=("algo", "use_star", "k", "ft", "s", "bits"))
+    def _run(cpk_a, yv_a, valid_a, n_real, cp,
+             *, algo, use_star, k, ft, s, bits):
+        def local_fn(cpk_blk, y_blk, v_blk, nr, cpl):
+            # cpk_blk: this device's sample block, bit-packed (nb, pb)
+            # uint8 when bits > 0 (shard-wise staging — the unpacked
+            # matrix never exists on one device; blocks also rotate
+            # PACKED, 8//bits x less ICI traffic per ring step)
+            def unpack(pkb):
+                if bits == 0:
+                    return pkb
+                from ..ops.relief_discrete import _unpack_codes_planes
+                return _unpack_codes_planes(pkb, bits=bits, p=p_pad)
+
+            c_blk = unpack(cpk_blk)
             me = jax.lax.axis_index(axis).astype(jnp.int32)
             perm = [(i, (i + 1) % ndev) for i in range(ndev)]
 
             # sweep 1: accumulate full match rows for MY focal block
             def sweep1(carry, _t):
-                blk, owner, match = carry
-                m_blk = _match_rows(c_blk, blk, ft, s)  # (nb, nb)
+                pkb, owner, match = carry
+                m_blk = _match_rows(c_blk, unpack(pkb), ft, s)  # (nb, nb)
                 match = jax.lax.dynamic_update_slice(
                     match, m_blk, (jnp.int32(0), owner * nb))
-                nxt = jax.lax.ppermute(blk, axis, perm)
+                nxt = jax.lax.ppermute(pkb, axis, perm)
                 nxt_owner = (owner - 1) % ndev
                 return (nxt, nxt_owner, match), None
 
             match0 = jnp.zeros((nb, n_pad), jnp.int32)
             (_, _, match), _ = jax.lax.scan(
-                sweep1, (c_blk, me, match0), jnp.arange(ndev))
+                sweep1, (cpk_blk, me, match0), jnp.arange(ndev))
 
             D = (jnp.int32(p_pad) - match).astype(jnp.float32)
             iid = me * nb + jnp.arange(nb, dtype=jnp.int32)
@@ -184,7 +194,8 @@ def ring_relief_discrete_scores(
                      else jnp.asarray(skip_tbl, jnp.int8))
 
             def sweep2(carry, _t):
-                blk, owner, part = carry
+                pkb, owner, part = carry
+                blk = unpack(pkb)
 
                 def sub(idxs):
                     return [(jax.lax.dynamic_slice(
@@ -205,13 +216,13 @@ def ring_relief_discrete_scores(
                         part = part + jax.lax.cond(
                             tbl_j[g, me, owner] > 0, do,
                             lambda: jnp.zeros((p_pad,), jnp.float32))
-                nxt = jax.lax.ppermute(blk, axis, perm)
+                nxt = jax.lax.ppermute(pkb, axis, perm)
                 nxt_owner = (owner - 1) % ndev
                 return (nxt, nxt_owner, part), None
 
             part0 = jnp.zeros((p_pad,), jnp.float32)
             (_, _, part), _ = jax.lax.scan(
-                sweep2, (c_blk, me, part0), jnp.arange(ndev))
+                sweep2, (cpk_blk, me, part0), jnp.arange(ndev))
             return jax.lax.psum(part, axis)
 
         return shard_map(
@@ -219,14 +230,15 @@ def ring_relief_discrete_scores(
             in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
             out_specs=P(),
             check_vma=False,
-        )(cpad_a, yv_a, valid_a, n_real, cp)
+        )(cpk_a, yv_a, valid_a, n_real, cp)
 
-    # bit-packed H2D staging (2 bits/value for SNP codes), unpacked
-    # on device; the mesh re-shards from the staging device
-    from ..ops.relief_discrete import stage_codes_device
-    cpad_dev = stage_codes_device(cpad, int(n_states))
-    scores = _run(cpad_dev, jnp.asarray(yv), jnp.asarray(valid),
+    # shard-wise bit-packed staging: every device receives only its own
+    # packed row block; the unpacked matrix never exists on one chip
+    from ..ops.relief_discrete import stage_codes_sharded
+    cpk_dev, bits = stage_codes_sharded(cpad, int(n_states), mesh,
+                                        shard_axis=0)
+    scores = _run(cpk_dev, jnp.asarray(yv), jnp.asarray(valid),
                   np.float32(n), jnp.asarray(class_probs, jnp.float32),
                   algo=algo, use_star=use_star, k=int(n_neighbors),
-                  ft=ft, s=int(n_states))
+                  ft=ft, s=int(n_states), bits=bits)
     return np.asarray(scores, np.float32)[:p] / np.float32(n)

@@ -448,3 +448,58 @@ def test_ring_skip_table_structure():
     # device 3 (class 1): hits 2,3; misses 0,1
     assert tbl[0, 3].tolist() == [0, 0, 1, 1]
     assert tbl[1, 3].tolist() == [1, 1, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Shard-wise packed staging (VERDICT r3 item 3): the unpacked matrix must
+# never materialise on a single device
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shard_axis", [0, 1])
+def test_stage_codes_sharded_keeps_shards_packed(shard_axis, rng):
+    import jax
+    from fastselect_tpu.ops.relief_discrete import (
+        stage_codes_sharded, _unpack_codes_planes)
+    from fastselect_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    n, p = 64, 32 * ndev
+    codes = rng.randint(0, 3, (n, p)).astype(np.int8)
+    staged, bits = stage_codes_sharded(codes, 3, mesh,
+                                       shard_axis=shard_axis)
+    assert bits == 2
+    assert staged.dtype == np.uint8
+    # every device holds exactly 1/ndev of the PACKED bytes (2 bits per
+    # genotype), not an unpacked replica
+    shards = staged.addressable_shards
+    assert len(shards) == ndev
+    per_dev = staged.size // ndev
+    for sh in shards:
+        assert sh.data.size == per_dev
+    assert staged.size == n * (-(-p // 4)) if shard_axis == 0 else True
+    # round-trip parity: per-shard unpack reassembles the original codes
+    if shard_axis == 0:
+        out = np.asarray(_unpack_codes_planes(staged, bits=2, p=p))
+        np.testing.assert_array_equal(out, codes)
+    else:
+        pb = p // ndev
+        blocks = []
+        for d in range(ndev):
+            blk = np.asarray([s.data for s in shards
+                              if s.device == mesh.devices.flat[d]][0])
+            blocks.append(np.asarray(
+                _unpack_codes_planes(jax.numpy.asarray(blk),
+                                     bits=2, p=pb)))
+        np.testing.assert_array_equal(np.concatenate(blocks, 1), codes)
+
+
+def test_stage_codes_sharded_raw_fallback(rng):
+    from fastselect_tpu.ops.relief_discrete import stage_codes_sharded
+    from fastselect_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    codes = rng.randint(0, 20, (16, 8 * mesh.devices.size)).astype(np.int8)
+    staged, bits = stage_codes_sharded(codes, 20, mesh, shard_axis=1)
+    assert bits == 0 and staged.dtype == np.int8
+    np.testing.assert_array_equal(np.asarray(staged), codes)
