@@ -27,6 +27,14 @@ def _pallas_max_n():
     return PALLAS_MAX_N
 
 
+# Auto half-width staging threshold: above this element count a
+# TPU-bound p >> n float fit is transfer-dominated (H2D floors at
+# ~40 MB/s on tunnelled links; the engine itself runs in O(100 ms)),
+# so halving the staged bytes roughly halves the fit.  16.8M f32
+# elements = 67 MB staged.
+_AUTO_F16_MIN_ELEMS = 1 << 24
+
+
 @functools.cache
 def _jitted_nan_check():
     """Module-level jitted NaN probe so repeated device-resident fits hit
@@ -178,6 +186,28 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
             np.ones(p, bool), np.ones(p, np.float32),
             codes=np.asarray(X, np.int8), n_states=mx + 1)
 
+    def _staging_dtype(self, X) -> str | None:
+        """H2D staging dtype for a TPU-bound fit.
+
+        An explicit ``transfer_dtype`` always wins (pass 'float32' to
+        force exact staging).  With the default ``None``, large float
+        matrices in the p >> n regime auto-stage at float16: those fits
+        are entirely H2D-transfer-bound (the engine runs in O(100 ms)
+        while the f32 upload takes seconds at the ~40 MB/s link floor),
+        and half-width staging halves the fit at a ~1e-3 relative cost
+        in score precision (integer-valued discrete columns up to 2048
+        are exact in f16, so discreteness detection is unaffected for
+        ordinary coded data).  The policy is recorded in the fitted
+        ``transfer_dtype_`` attribute."""
+        td = getattr(self, "transfer_dtype", None)
+        if td is None:
+            n, p = X.shape
+            if (X.size >= _AUTO_F16_MIN_ELEMS and p >= 4 * n
+                    and np.issubdtype(X.dtype, np.floating)):
+                td = "float16"
+        self.transfer_dtype_ = td or "float32"
+        return td
+
     def _analyze(self, X) -> FeatureAnalysis:
         """Per-feature discreteness / ranges / state codes.
 
@@ -196,7 +226,7 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
         if X.size >= 1 << 22 and tpu_bound:
             return analyze_features_device(
                 X, self.discrete_limit,
-                transfer_dtype=getattr(self, "transfer_dtype", None))
+                transfer_dtype=self._staging_dtype(X))
         x_an = X.astype(np.float32, copy=False) if tpu_bound else X
         is_disc = detect_discrete_features(x_an, self.discrete_limit)
         return FeatureAnalysis(is_disc, compute_recip_ranges(x_an))

@@ -38,8 +38,11 @@ class MultiSURF(BaseReliefSelector):
         Staging dtype for the host-to-device copy of continuous data on
         TPU fits.  'float16'/'bfloat16' halve transfer bytes (the
         end-to-end bottleneck for p >> n fits on bandwidth-limited
-        links) at a ~1e-3 relative cost in score precision; the default
-        stages exact float32.
+        links) at a ~1e-3 relative cost in score precision.  The
+        default None auto-selects float16 for large p >> n float
+        matrices (the transfer-bound regime) and exact float32
+        otherwise; pass 'float32' to force exact staging everywhere.
+        The dtype actually used is recorded in ``transfer_dtype_``.
 
     Attributes
     ----------

@@ -38,7 +38,10 @@ class ReliefF(BaseReliefSelector):
     transfer_dtype : {None, 'float32', 'float16', 'bfloat16'}, default=None
         Staging dtype for the host-to-device copy of continuous data on
         TPU fits ('float16'/'bfloat16' halve H2D bytes at ~1e-3
-        relative score precision; default stages exact float32).
+        relative score precision).  None auto-selects float16 for
+        large p >> n float matrices (the transfer-bound regime) and
+        exact float32 otherwise; pass 'float32' to force exact
+        staging.  The dtype used is recorded in ``transfer_dtype_``.
 
     Attributes
     ----------

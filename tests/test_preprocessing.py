@@ -114,3 +114,49 @@ def test_transfer_dtype_validation():
     m = MultiSURF(n_features_to_select=2, transfer_dtype="float16")
     m.fit(np.random.rand(30, 8), np.arange(30) % 2)
     assert m.top_features_.shape == (2,)
+
+
+# -- round 4: auto half-width staging for transfer-bound p >> n fits ----
+
+def test_staging_dtype_auto_policy(rng):
+    """None auto-selects float16 only for large p >> n float matrices;
+    explicit values always win; ints never auto-stage half-width."""
+    import fastselect_tpu.models._relief_base as rb
+    from fastselect_tpu import MultiSURF
+
+    big_wide = np.zeros((10, 400), np.float32)     # p >= 4n
+    big_tall = np.zeros((400, 10), np.float32)
+    big_int = np.zeros((10, 400), np.int32)
+
+    m = MultiSURF()
+    # below the threshold: exact staging
+    assert m._staging_dtype(big_wide) is None
+    assert m.transfer_dtype_ == "float32"
+    try:
+        orig = rb._AUTO_F16_MIN_ELEMS
+        rb._AUTO_F16_MIN_ELEMS = 1000
+        assert m._staging_dtype(big_wide) == "float16"
+        assert m.transfer_dtype_ == "float16"
+        assert m._staging_dtype(big_tall) is None    # not p >> n
+        assert m._staging_dtype(big_int) is None     # integer input
+        m32 = MultiSURF(transfer_dtype="float32")
+        assert m32._staging_dtype(big_wide) == "float32"
+        assert m32.transfer_dtype_ == "float32"
+    finally:
+        rb._AUTO_F16_MIN_ELEMS = orig
+
+
+def test_auto_f16_scores_close_to_exact(rng):
+    """Scores from half-width staging stay within f16 rounding of the
+    exact-f32 fit (the documented ~1e-3 relative effect)."""
+    x = rng.rand(24, 200).astype(np.float32)
+    an16 = pp.analyze_features_device(x, discrete_limit=5, f_chunk=64,
+                                      transfer_dtype="float16")
+    an32 = pp.analyze_features_device(x, discrete_limit=5, f_chunk=64)
+    from fastselect_tpu.ops.relief import relief_scores
+    y = rng.randint(0, 2, 24).astype(np.int32)
+    s16 = relief_scores(np.asarray(an16.x_dev), y, an16.recip,
+                        an16.is_discrete, algo="multisurf")
+    s32 = relief_scores(np.asarray(an32.x_dev), y, an32.recip,
+                        an32.is_discrete, algo="multisurf")
+    np.testing.assert_allclose(s16, s32, atol=2e-3)
