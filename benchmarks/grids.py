@@ -56,6 +56,39 @@ def snp_data(n, p, seed=0):
     return X, rs.randint(0, 2, n)
 
 
+def measure_link_rate(mb: int = 32) -> float:
+    """Measured H2D rate (MB/s) immediately before a scenario, so tunnel
+    weather is visible in every large-scale CSV row.
+
+    Fresh random bytes each call (the tunnel client content-dedups
+    re-puts of identical buffers, which would measure ~infinite), and
+    the transfer is CONSUMED on device with the result pulled back
+    (device_put acks lazily — put+block does not prove the bytes
+    moved)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(jnp.sum)
+    if not getattr(measure_link_rate, "_warm", False):
+        # backend init + the probe's own compile must not count as link
+        # time (the first probe of a process read 0.3 MB/s before this)
+        np.asarray(probe(jax.device_put(np.zeros(1 << 20, np.uint8))))
+        measure_link_rate._warm = True
+    buf = np.random.default_rng().integers(
+        0, 255, (mb << 20,), dtype=np.uint8)
+    t0 = time.perf_counter()
+    xd = jax.device_put(buf)
+    s = np.asarray(probe(xd))
+    dt = time.perf_counter() - t0
+    assert s >= 0
+    return mb / dt
+
+
+# scenarios whose fits are large enough for link weather to matter:
+# probe the link immediately before every shape
+_LINK_PROBED = {"large_p", "large_n", "flagship_snp", "large_n_mixed"}
+
+
 def run(out="benchmarks/results.csv", large=False, flagship=False,
         only=None, append=False, shapes=None):
     rows = []
@@ -78,7 +111,9 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
             if r[0] not in rerun:
                 return False
             return shapes is None or (int(r[2]), int(r[3])) in shapes
-        rows = [r for r in kept if not replaced(r)]
+        # pad pre-link-column rows so the CSV stays rectangular
+        rows = [tuple(r) + ("",) * (9 - len(r))
+                for r in kept if not replaced(r)]
     grids = [
         ("p_dominant", [(100, p) for p in (200, 400, 600, 800, 1000)]),
         ("n_dominant", [(n, 100) for n in (200, 400, 600, 800, 1000)]),
@@ -100,16 +135,17 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
             w.writerow(["scenario", "estimator", "n_samples",
                         "n_features", "seconds",
                         "samples2_features_per_s", "peak_rss_mb",
-                        "peak_device_mb"])
+                        "peak_device_mb", "link_mbps"])
             w.writerows(rows)
 
-    def record(scenario, name, n, p, t):
+    def record(scenario, name, n, p, t, link=""):
         rows.append((scenario, name, n, p,
                      round(t.seconds, 5), round(t.throughput, 1),
                      round(t.peak_rss_mb, 1),
-                     round(t.peak_device_mb, 1)))
+                     round(t.peak_device_mb, 1), link))
         print(f"{scenario} {name} {n}x{p}: {t.seconds:.4f}s "
-              f"rss={t.peak_rss_mb:.0f}MB dev={t.peak_device_mb:.0f}MB",
+              f"rss={t.peak_rss_mb:.0f}MB dev={t.peak_device_mb:.0f}MB"
+              + (f" link={link}MB/s" if link else ""),
               flush=True)
         flush_rows()  # crash-resilient: rows survive a failed later fit
 
@@ -133,16 +169,18 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
         reps = 3 if scenario in ("large_p", "large_n") else 1
         for n, p in shapes:
             X, y = classification_data(n, p)
+            link = (round(measure_link_rate(), 1)
+                    if scenario in _LINK_PROBED else "")
             for name, make in ests.items():
                 record(scenario, name, n, p,
-                       timed_fit(make, X, y, repeats=reps))
+                       timed_fit(make, X, y, repeats=reps), link)
             if scenario == "large_p":
-                # half-width H2D staging: at p >> n the fit is purely
-                # transfer-bound, so float16 staging ~halves the bytes
-                record(scenario, "MultiSURF (f16 xfer)", n, p, timed_fit(
+                # exact f32 staging for comparison with the default
+                # (which auto-selects float16 at transfer-bound p >> n)
+                record(scenario, "MultiSURF (f32 xfer)", n, p, timed_fit(
                     lambda: MultiSURF(n_features_to_select=10,
-                                      transfer_dtype="float16"), X, y,
-                    repeats=reps))
+                                      transfer_dtype="float32"), X, y,
+                    repeats=reps), link)
             if scenario in ("p_dominant", "n_dominant"):
                 for name, make in competitors.items():
                     record(scenario, name, n, p,
@@ -154,13 +192,14 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
             if shapes is not None and (n, p) not in shapes:
                 continue
             X, y = snp_data(n, p)
+            link = round(measure_link_rate(), 1)
             # the 6 GB shape: single fit, no warmup clone — XLA compiles
             # come from the persistent cache and a second 1.5 GB staging
             # pass would only re-measure the host link
             t = timed_fit(
                 lambda: MultiSURF(n_features_to_select=10), X, y,
                 warmup=n * p <= 1 << 30)
-            record("flagship_snp", "MultiSURF", n, p, t)
+            record("flagship_snp", "MultiSURF", n, p, t, link)
 
     if large and (only is None or "large_n_mixed" in only):
         # mixed discrete+continuous beyond the old 24k hybrid cap
@@ -170,8 +209,9 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
         X = rs.rand(n, p)
         X[:, :p // 2] = rs.randint(0, 3, (n, p // 2))
         y = rs.randint(0, 2, n)
+        link = round(measure_link_rate(), 1)
         t = timed_fit(lambda: MultiSURF(n_features_to_select=10), X, y)
-        record("large_n_mixed", "MultiSURF", n, p, t)
+        record("large_n_mixed", "MultiSURF", n, p, t, link)
 
     flush_rows()
     print(f"device={device_kind()}  wrote {len(rows)} rows -> {out}")

@@ -296,13 +296,14 @@ def _focal_block_rows(n_pad: int, ti: int,
     """(nb, n_pad') focal super-block rows plus the (possibly enlarged)
     padded sample count, with nb dividing n_pad'.
 
-    Picks the largest block whose (nb, n_pad) f32 D+W pair fits the
-    budget, padding the sample axis a little when that avoids a tiny
-    block.  The old divisor-only rule collapsed badly when n_pad/ti was
-    nearly prime: 30208 rows = 2*59 tiles forced nb=512 (59 sequential
-    super-blocks with per-block top_k/rules overhead) while 50176 rows
-    got nb=7168 — the source of the non-monotonic large-n ReliefF
-    throughput."""
+    Picks the block size minimising padded work (m2, then block count)
+    within the budget, padding the sample axis a little when that
+    avoids a tiny block at near-prime tile counts (30208 rows = 2*59
+    tiles forced nb=512 under the old divisor-only rule).  Measured on
+    v5e: block size is NOT the large-n ReliefF cost (nb=512 vs
+    nb=10240 at 30000x100 both fit in 1.69 s fresh-process best-of-3)
+    — per-super-block overhead is negligible next to the O(nb * n_pad)
+    distance work, so this exists for shape hygiene, not speed."""
     if n_pad * n_pad * 8 <= budget_bytes or n_pad <= ti:
         return n_pad, n_pad
     m = (n_pad + ti - 1) // ti
