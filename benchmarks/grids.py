@@ -188,7 +188,11 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
 
     if flagship and (only is None or "flagship_snp" in only):
         # paper.md:44 shape class: all-discrete genotypes, n >> and p >>.
-        for n, p in [(10_000, 50_000), (30_000, 200_000)]:
+        # last shape = the BASELINE north-star (~100k x 100k) fitted END
+        # TO END from a host int8 array: ~9.8 GB generated host-side,
+        # 2.4 GB crossing the link bit-packed
+        for n, p in [(10_000, 50_000), (30_000, 200_000),
+                     (98_304, 99_840)]:
             if shapes is not None and (n, p) not in shapes:
                 continue
             X, y = snp_data(n, p)

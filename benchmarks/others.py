@@ -41,12 +41,23 @@ def _sk_chi2(X, y):
     return sk(X, y)
 
 
-def main(out):
+def main(out, only=None, append=False):
     rs = np.random.RandomState(42)
     rows = []
+    if append:
+        try:
+            with open(out, newline="") as fh:
+                kept = [tuple(r) for r in csv.reader(fh)][1:]
+        except OSError:
+            kept = []
+        rows = [r for r in kept if only is not None and r[0] not in only]
+
+    def want(scenario):
+        return only is None or scenario in only
 
     # CFS grid (benchmarking_cfs.py upstream: continuous rand, binary y)
-    for n, p in [(200, 500), (500, 1000), (1000, 2000)]:
+    for n, p in [(200, 500), (500, 1000), (1000, 2000)] if want("cfs") \
+            else []:
         X = rs.rand(n, p)
         y = rs.randint(0, 2, n)
         s = timeit(lambda: CFS().fit(X, y))
@@ -54,7 +65,8 @@ def main(out):
         print(f"CFS {n}x{p}: {s:.3f}s", flush=True)
 
     # mRMR grid (benchmarking_mrmr.py upstream: randint(0, 5))
-    for n, p in [(1000, 1000), (2000, 2000), (2000, 5000)]:
+    for n, p in [(1000, 1000), (2000, 2000), (2000, 5000)] \
+            if want("mrmr") else []:
         X = rs.randint(0, 5, (n, p)).astype(np.int32)
         y = rs.randint(0, 2, n)
         s = timeit(lambda: mRMR(n_features_to_select=10).fit(X, y))
@@ -62,36 +74,50 @@ def main(out):
         print(f"mRMR {n}x{p}: {s:.3f}s", flush=True)
 
     # MDR grid (benchmarking_mdr.py upstream: genotypes, k=2)
-    for n, p in [(500, 50), (1000, 100), (2000, 200)]:
+    for n, p in [(500, 50), (1000, 100), (2000, 200)] \
+            if want("mdr") else []:
         X = rs.randint(0, 3, (n, p)).astype(np.uint8)
         y = rs.randint(0, 2, n)
         s = timeit(lambda: MDR(k=2, cv=5).fit(X, y))
         rows.append(("mdr", "MDR(k=2,cv=5)", n, p, round(s, 4)))
         print(f"MDR {n}x{p}: {s:.3f}s", flush=True)
 
+    # MDR at k=3 (the C(p, k) explosion the reference cannot stream:
+    # it materialises the full combo array per fit, MDR.py:247-250 —
+    # 20.7M combos here; ours unranks on device, fold-inner)
+    for n, p in [(1000, 200), (1000, 500)] if want("mdr_k3") else []:
+        X = rs.randint(0, 3, (n, p)).astype(np.uint8)
+        y = rs.randint(0, 2, n)
+        s = timeit(lambda: MDR(k=3, cv=5).fit(X, y))
+        rows.append(("mdr_k3", "MDR(k=3,cv=5)", n, p, round(s, 4)))
+        print(f"MDR(k=3) {n}x{p}: {s:.3f}s", flush=True)
+
     # mRMR at GWAS p (streaming greedy, no (p, p) matrix — beyond the
     # reference's reach: its redundancy matrix is CPU-only and O(p^2))
-    n, p = 2000, 50_000
-    X = rs.randint(0, 5, (n, p)).astype(np.int32)
-    y = rs.randint(0, 2, n)
-    s = timeit(lambda: mRMR(n_features_to_select=10).fit(X, y))
-    rows.append(("mrmr_stream", "mRMR", n, p, round(s, 4)))
-    print(f"mRMR(stream) {n}x{p}: {s:.3f}s", flush=True)
+    if want("mrmr_stream"):
+        n, p = 2000, 50_000
+        X = rs.randint(0, 5, (n, p)).astype(np.int32)
+        y = rs.randint(0, 2, n)
+        s = timeit(lambda: mRMR(n_features_to_select=10).fit(X, y))
+        rows.append(("mrmr_stream", "mRMR", n, p, round(s, 4)))
+        print(f"mRMR(stream) {n}x{p}: {s:.3f}s", flush=True)
 
     # chi2 micro-benchmark (testing.py upstream: 2000 x 200000, 5 classes)
-    X = rs.randint(0, 5, (2000, 200_000)).astype(np.float64)
-    y = rs.randint(0, 5, 2000)
-    s = timeit(lambda: chi2(X, y))
-    rows.append(("chi2", "chi2", 2000, 200_000, round(s, 4)))
-    print(f"chi2 2000x200000: {s:.3f}s", flush=True)
+    if want("chi2"):
+        X = rs.randint(0, 5, (2000, 200_000)).astype(np.float64)
+        y = rs.randint(0, 5, 2000)
+        s = timeit(lambda: chi2(X, y))
+        rows.append(("chi2", "chi2", 2000, 200_000, round(s, 4)))
+        print(f"chi2 2000x200000: {s:.3f}s", flush=True)
 
     # --- competitor baselines (optional imports — rows appear only when
     # the package is installed, mirroring the reference's comparison
     # scripts: benchmarking.py:9-22 skrebate, benchmarking_mrmr.py mrmr,
     # benchmarking_cfs.py skfeature; sklearn is always present) ---
-    s = timeit(lambda: _sk_chi2(X, y))
-    rows.append(("chi2", "sklearn.chi2", 2000, 200_000, round(s, 4)))
-    print(f"sklearn.chi2 2000x200000: {s:.3f}s", flush=True)
+    if want("chi2"):
+        s = timeit(lambda: _sk_chi2(X, y))
+        rows.append(("chi2", "sklearn.chi2", 2000, 200_000, round(s, 4)))
+        print(f"sklearn.chi2 2000x200000: {s:.3f}s", flush=True)
 
     mrmr_pkg = _optional("mrmr")
     if mrmr_pkg is not None:
@@ -122,4 +148,10 @@ def main(out):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="benchmarks/results_other.csv")
-    main(ap.parse_args().out)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated scenario filter")
+    ap.add_argument("--append", action="store_true",
+                    help="keep existing CSV rows for scenarios not re-run")
+    a = ap.parse_args()
+    main(a.out, only=a.only.split(",") if a.only else None,
+         append=a.append)

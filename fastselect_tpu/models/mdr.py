@@ -159,18 +159,31 @@ class MDR(BaseEstimator, ClassifierMixin):
             w_ctrl[f, train_idx] = (y[train_idx] != 1)
         scorer = self._make_fold_scorer(Xi, w_case, w_ctrl, device)
 
-        best_ba = np.full(n_folds, -1.0)
-        fold_best_models: list[tuple | None] = [None] * n_folds
-        rows = np.arange(n_folds)
-        for r0 in range(0, n_combos, _COMBO_CHUNK):
-            r1 = min(r0 + _COMBO_CHUNK, n_combos)
-            chunk = unrank_combos(n_features, self.k, r0, r1)
-            bas = scorer(chunk)                      # (n_folds, r1-r0)
-            idx = bas.argmax(axis=1)                 # first max wins ties
-            vals = bas[rows, idx].astype(np.float64)
-            for f in np.nonzero(vals > best_ba)[0]:
-                best_ba[f] = vals[f]
-                fold_best_models[f] = tuple(int(v) for v in chunk[idx[f]])
+        if n_combos < (1 << 31) - 1:
+            # device-side search: combos are unranked ON device and only
+            # per-chunk (F,) maxima leave the chip — no combo H2D, no BA
+            # D2H (at k=3, p=500 those streams are ~650 MB per fit)
+            _, best_ranks = scorer.search_all(n_features, n_combos,
+                                              chunk=_COMBO_CHUNK)
+            fold_best_models = [
+                tuple(int(v) for v in
+                      unrank_combos(n_features, self.k, int(r),
+                                    int(r) + 1)[0])
+                for r in best_ranks]
+        else:  # beyond int32 ranks: stream host-unranked combo chunks
+            best_ba = np.full(n_folds, -1.0)
+            fold_best_models = [None] * n_folds
+            rows = np.arange(n_folds)
+            for r0 in range(0, n_combos, _COMBO_CHUNK):
+                r1 = min(r0 + _COMBO_CHUNK, n_combos)
+                chunk = unrank_combos(n_features, self.k, r0, r1)
+                bas = scorer(chunk)                  # (n_folds, r1-r0)
+                idx = bas.argmax(axis=1)             # first max wins ties
+                vals = bas[rows, idx].astype(np.float64)
+                for f in np.nonzero(vals > best_ba)[0]:
+                    best_ba[f] = vals[f]
+                    fold_best_models[f] = tuple(int(v)
+                                                for v in chunk[idx[f]])
 
         fold_test_bas = []
         for fold_i, (train_idx, test_idx) in enumerate(splits, start=1):

@@ -136,6 +136,54 @@ def _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, *, k: int, tc: int):
     return parts.transpose(1, 0, 2).reshape(w_case.shape[0], -1)
 
 
+def _comb_tables(p: int, k: int) -> np.ndarray:
+    """(k, p+1) int32 binomial tables for device-side unranking:
+    row i holds comb(v, k-i) for v in 0..p.  Caller guarantees
+    comb(p, k) < 2^31 (the int32 device-search guard)."""
+    return np.stack([_comb_cache(p, k - i) for i in range(k)]
+                    ).astype(np.int32)
+
+
+def _unrank_device(ranks, tables, *, k: int):
+    """Device twin of :func:`unrank_combos`: lexicographic combination
+    rows from rank indices, via searchsorted over the monotone binomial
+    tables.  All int32 (guarded by the caller)."""
+    p = tables.shape[1] - 1
+    rem = ranks
+    prev = jnp.full(ranks.shape, -1, jnp.int32)
+    cols = []
+    for i in range(k):
+        cb = tables[i]
+        top = cb[p - prev - 1]
+        a = top - rem
+        v = jnp.searchsorted(cb, a, side="left").astype(jnp.int32) - 1
+        x = p - v - 1
+        rem = rem - (top - cb[v + 1])
+        cols.append(x)
+        prev = x
+    return jnp.stack(cols, axis=1)  # (m, k)
+
+
+@partial(jax.jit, static_argnames=("k", "tc", "m"))
+def _mdr_best_in_range(X, w_case, w_ctrl, tables, r0, n_combos,
+                       *, k: int, tc: int, m: int):
+    """Per-fold (best BA, global rank) over combo ranks [r0, r0+m).
+
+    Combos are UNRANKED ON DEVICE and only the (F,) maxima leave the
+    chip — at k=3, p=500 scale the host-combo design moves ~250 MB of
+    combo rows up and ~400 MB of BAs down per fit; this moves a few
+    bytes per chunk.  Ranks past n_combos clamp to the last combo: its
+    duplicate BA can only TIE the real entry, and argmax's first-index
+    rule keeps the real (earlier) one, preserving the reference's
+    first-in-lexicographic-order tie-break."""
+    ranks = r0 + jnp.arange(m, dtype=jnp.int32)
+    combos = _unrank_device(jnp.minimum(ranks, n_combos - 1), tables, k=k)
+    bas = _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, k=k, tc=tc)
+    idx = jnp.argmax(bas, axis=1)                      # (F,) first max
+    vals = jnp.take_along_axis(bas, idx[:, None], 1)[:, 0]
+    return vals, r0 + idx.astype(jnp.int32)
+
+
 class MDRFoldScorer:
     """Stages (X, per-fold weights) on device ONCE and scores streamed
     combo chunks for every fold per call — chunk-outer / fold-inner,
@@ -175,6 +223,33 @@ class MDRFoldScorer:
                 self.Xd, self.wc, self.wl, jnp.asarray(combos_p),
                 k=self.k, tc=self.tc)
             return np.asarray(out, np.float32)[:, :m]
+
+    def search_all(self, p: int, n_combos: int,
+                   chunk: int = 1 << 18):
+        """Per-fold (best BA, best rank) over ALL C(p, k) combos, with
+        combos unranked on device and only per-chunk maxima pulled back
+        (see :func:`_mdr_best_in_range`).  Requires comb(p, k) < 2^31
+        (int32 device arithmetic); dispatches are queued asynchronously
+        and drained once at the end."""
+        f = self.wc.shape[0]
+        m = _round_up(min(chunk, max(n_combos, 1)), self.tc)
+        best_v = np.full((f,), -np.inf, np.float64)
+        best_r = np.zeros((f,), np.int64)
+        pending = []
+        with self._ctx(self.device):
+            tb = jnp.asarray(_comb_tables(p, self.k))
+            nc = jnp.int32(n_combos)
+            for r0 in range(0, n_combos, m):
+                pending.append(_mdr_best_in_range(
+                    self.Xd, self.wc, self.wl, tb, jnp.int32(r0), nc,
+                    k=self.k, tc=self.tc, m=m))
+            for vals, ranks in pending:  # ascending rank order: strict >
+                vals = np.asarray(vals, np.float64)
+                ranks = np.asarray(ranks, np.int64)
+                upd = vals > best_v
+                best_v[upd] = vals[upd]
+                best_r[upd] = ranks[upd]
+        return best_v, best_r
 
 
 def batch_balanced_accuracy(X: np.ndarray, y: np.ndarray,

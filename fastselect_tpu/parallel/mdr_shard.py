@@ -140,3 +140,50 @@ class ShardedMDRFoldScorer:
                                    jnp.asarray(combos_p),
                                    k=self.k, tc=self.tc))
         return out[:, :m]
+
+    def search_all(self, p: int, n_combos: int, chunk: int = 1 << 18):
+        """Per-fold (best BA, best rank) over ALL C(p, k) combos with
+        the rank range sharded over the mesh: each device unranks and
+        scores its own contiguous rank slice (no combo H2D at all) and
+        only the per-device (F,) maxima are gathered.  Requires
+        comb(p, k) < 2^31 (int32 device arithmetic)."""
+        from ..ops.mdr_op import _comb_tables, _mdr_best_in_range
+
+        f = self.wc.shape[0]
+        m_local = _round_up(min(chunk, max(n_combos, 1)), self.tc)
+        step = m_local * self.ndev
+        tb = jnp.asarray(_comb_tables(p, self.k))
+        nc = jnp.int32(n_combos)
+        mesh, axis = self.mesh, self.axis
+
+        @partial(jax.jit, static_argnames=("k", "tc", "m"))
+        def _run(Xd, wc_, wl_, tb_, r0, nc_, *, k, tc, m):
+            def local_fn(Xl, wcl, wll, tbl, r0l, ncl):
+                me = jax.lax.axis_index(axis).astype(jnp.int32)
+                vals, ranks = _mdr_best_in_range(
+                    Xl, wcl, wll, tbl, r0l + me * m, ncl,
+                    k=k, tc=tc, m=m)
+                return vals[None, :], ranks[None, :]
+
+            return shard_map(
+                local_fn, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=(P(axis, None), P(axis, None)),
+                check_vma=False,
+            )(Xd, wc_, wl_, tb_, r0, nc_)
+
+        best_v = np.full((f,), -np.inf, np.float64)
+        best_r = np.zeros((f,), np.int64)
+        pending = []
+        for r0 in range(0, n_combos, step):
+            pending.append(_run(self.Xd, self.wc, self.wl, tb,
+                                jnp.int32(r0), nc,
+                                k=self.k, tc=self.tc, m=m_local))
+        for vals, ranks in pending:
+            vals = np.asarray(vals, np.float64)    # (ndev, F)
+            ranks = np.asarray(ranks, np.int64)
+            for d in range(vals.shape[0]):         # ascending rank order
+                upd = vals[d] > best_v
+                best_v[upd] = vals[d][upd]
+                best_r[upd] = ranks[d][upd]
+        return best_v, best_r

@@ -191,3 +191,67 @@ def test_sharded_fold_scorer_matches_single():
     single = MDRFoldScorer(X, w_case, w_ctrl, 3)(combos)
     sharded = ShardedMDRFoldScorer(X, w_case, w_ctrl, 3)(combos)
     np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_device_unrank_matches_host():
+    import jax.numpy as jnp
+
+    from fastselect_tpu.ops.mdr_op import (_comb_tables, _unrank_device,
+                                           unrank_combos)
+
+    for p, k in [(9, 3), (12, 4), (7, 2)]:
+        tables = jnp.asarray(_comb_tables(p, k))
+        n = math.comb(p, k)
+        ranks = jnp.arange(n, dtype=jnp.int32)
+        got = np.asarray(_unrank_device(ranks, tables, k=k))
+        assert_array_equal(got, unrank_combos(p, k, 0, n))
+
+
+def test_search_all_matches_chunked_scorer():
+    from itertools import combinations
+
+    from fastselect_tpu.ops.mdr_op import MDRFoldScorer
+
+    rng = np.random.RandomState(11)
+    p, k = 9, 3
+    X = rng.randint(0, 3, (50, p)).astype(np.int32)
+    y = rng.randint(0, 2, 50)
+    y[:2] = [0, 1]
+    w_case = np.zeros((2, 50), np.float32)
+    w_ctrl = np.zeros((2, 50), np.float32)
+    w_case[0, :40] = (y[:40] == 1)
+    w_ctrl[0, :40] = (y[:40] != 1)
+    w_case[1, 5:] = (y[5:] == 1)
+    w_ctrl[1, 5:] = (y[5:] != 1)
+    sc = MDRFoldScorer(X, w_case, w_ctrl, k)
+    combos = np.array(list(combinations(range(p), k)), np.int32)
+    bas = sc(combos)
+    n_combos = combos.shape[0]
+    # tiny chunk forces multiple streamed ranges
+    vals, ranks = sc.search_all(p, n_combos, chunk=16)
+    for f in range(2):
+        assert vals[f] == bas[f].max()
+        assert ranks[f] == int(bas[f].argmax())  # first-max tie-break
+
+
+def test_sharded_search_all_matches_single():
+    from fastselect_tpu.ops.mdr_op import MDRFoldScorer
+    from fastselect_tpu.parallel import ShardedMDRFoldScorer
+
+    rng = np.random.RandomState(13)
+    p, k = 10, 3
+    X = rng.randint(0, 3, (40, p)).astype(np.int32)
+    y = rng.randint(0, 2, 40)
+    y[:2] = [0, 1]
+    w_case = np.zeros((3, 40), np.float32)
+    w_ctrl = np.zeros((3, 40), np.float32)
+    for f, sl in enumerate((slice(0, 30), slice(10, 40), slice(0, 40, 2))):
+        w_case[f, sl] = (y[sl] == 1)
+        w_ctrl[f, sl] = (y[sl] != 1)
+    n_combos = math.comb(p, k)
+    sv, sr = MDRFoldScorer(X, w_case, w_ctrl, k).search_all(
+        p, n_combos, chunk=16)
+    gv, gr = ShardedMDRFoldScorer(X, w_case, w_ctrl, k).search_all(
+        p, n_combos, chunk=16)
+    np.testing.assert_allclose(gv, sv, atol=1e-6)
+    assert_array_equal(gr, sr)
