@@ -1038,6 +1038,43 @@ def _v2_layout(y, n, ti, algo, class_probs):
 # focal rows / class segments from the ORIGINAL instead.
 _DEVICE_SORT_BUDGET = 6 << 30
 
+# PackedCodes whose SORTED UNPACKED copy still fits next to the packed
+# buffer (1.25x n*p peak + engine workspace, vs the 2.2x the unpacked
+# budget rule assumes) are PROMOTED: one device unpack+sort, packed
+# buffer donated away, then the fast resident v2 engine instead of the
+# window-gather engine.  Measured on v5e at 30000x200000 (6 GB codes):
+# gather engine ~59 s vs resident engine ~10.6 s.
+_PACKED_PROMOTE_BUDGET = 7 << 30
+
+
+@jax.jit
+def _slice_00(a):
+    return jax.lax.dynamic_slice(a, (0, 0), (1, 1))
+
+
+@partial(jax.jit, static_argnames=("n_pad", "p_pad", "bits"))
+def _promote_packed_sorted(packed, gather_idx, row_valid, *,
+                           n_pad, p_pad, bits):
+    """Unpack + class-sort a bit-packed code matrix into the padded
+    resident engine layout (the packed buffer stays alive — donation
+    of a host-staged array is not usable here and the 0.25x extra is
+    within the promote budget's headroom).
+
+    Features come out in PLANE order (position i*pb + j holds original
+    feature j*per + i — the same contiguous-concat unpack the window
+    gather uses; a natural-order unpack would lower to slow lane
+    shuffles).  Per-feature scores are order-independent, so the caller
+    remaps the final vector host-side with ``_plane_to_natural``."""
+    per = 8 // bits
+    mask = jnp.uint8((1 << bits) - 1)
+    rows = jnp.where(row_valid[:, None] > 0,
+                     jnp.take(packed, gather_idx, axis=0, mode="clip"),
+                     jnp.uint8(0))                      # (n_pad, pb)
+    parts = [((rows >> jnp.uint8(bits * i)) & mask).astype(jnp.int8)
+             for i in range(per)]
+    out = jnp.concatenate(parts, axis=1)                # (n_pad, pb*per)
+    return jnp.pad(out, ((0, 0), (0, p_pad - out.shape[1])))
+
 
 def _run_v2_gather(codes, y_np, layout, n, p, n_states, class_probs,
                    *, algo, use_star, k, ti, ft):
@@ -1130,7 +1167,11 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
     p_pad = _round_up(p, ft)
     y_np = np.asarray(y[:n], np.int32)
 
-    if isinstance(codes, PackedCodes) or (
+    plane_per = 0  # >0: engine ran in plane feature order, remap at end
+    promote = (isinstance(codes, PackedCodes)
+               and codes.n * codes.p <= _PACKED_PROMOTE_BUDGET
+               and ft % codes.per == 0)
+    if (isinstance(codes, PackedCodes) and not promote) or (
             isinstance(codes, jax.Array)
             and 2.2 * codes.size > _DEVICE_SORT_BUDGET and p >= ft):
         return np.pad(_run_v2_gather(
@@ -1138,7 +1179,30 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
             algo=algo, use_star=use_star, k=k, ti=ti, ft=ft),
             (0, p_pad - p))
 
-    if isinstance(codes, jax.Array):
+    if promote:
+        plane_per = codes.per
+        gather_idx = np.zeros((n_pad,), np.int32)
+        gather_idx[:n] = perm
+        row_valid = np.zeros((n_pad,), np.float32)
+        row_valid[:n] = 1.0
+        yv = np.full((n_pad,), -1, np.int32)
+        yv[:n] = y_np[perm]
+        # p_eff overhang slots decode to state 0 and score exactly 0,
+        # like padding; p_pad is per-aligned because ft % per == 0
+        cpad = _promote_packed_sorted(
+            codes.packed, jnp.asarray(gather_idx),
+            jnp.asarray(row_valid), n_pad=n_pad, p_pad=p_pad,
+            bits=codes.bits)
+        # free the packed buffer NOW: at promote scale it is the
+        # difference between fitting HBM and RESOURCE_EXHAUSTED in the
+        # engine (buffer donation is not usable for host-staged puts).
+        # The tiny D2H proves the unpack consumed it first —
+        # block_until_ready does not reliably sync through tunnelled
+        # runtimes.
+        np.asarray(_slice_00(cpad))
+        codes.packed.delete()
+        valid = row_valid
+    elif isinstance(codes, jax.Array):
         gather_idx = np.zeros((n_pad,), np.int32)
         gather_idx[:n] = perm
         row_valid = np.zeros((n_pad,), np.float32)
@@ -1174,12 +1238,19 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
     cp = np.asarray(class_probs, np.float32)
     nb = n_pad // ti
 
+    # the monolithic engine keeps O(n_pad^2) distance/weight
+    # temporaries live at once — with multi-GB promoted code matrices
+    # that overflows HBM even at small block counts, so it is gated by
+    # an estimated footprint, not just nb (measured: 30208 rows +
+    # 6 GB codes RESOURCE_EXHAUSTEDs the nb<16 branch)
+    mono_bytes = (getattr(cpad, "nbytes", cpad.size)
+                  + 12 * n_pad * n_pad)
     if _sym_zone(n_pad, p, n_states):
         scores = np.asarray(_relief_discrete_engine_sym(
             cpad, yv, valid, np.float32(n), cp, plans=plans,
             seg_starts=segs_t, seg_lens=lens_t,
             class_blocks=class_blocks, **kw), np.float32)
-    elif nb < 16:
+    elif nb < 16 and mono_bytes <= (10 << 30):
         scores = np.asarray(_relief_discrete_engine_v2(
             cpad, yv, valid, np.float32(n), cp, plans=plans,
             seg_starts=segs_t, seg_lens=lens_t,
@@ -1196,6 +1267,12 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
                 plan=block_plan[b], seg_starts=segs_t, seg_lens=lens_t,
                 **kw), np.float32)
         scores = scores.astype(np.float32)
+    if plane_per:
+        p_eff = _round_up(p, plane_per)
+        natural = np.zeros((p_pad,), np.float32)
+        natural[:p_eff] = _plane_to_natural(
+            np.asarray(scores[:p_eff]), plane_per)
+        return natural
     return scores
 
 

@@ -558,7 +558,8 @@ def test_discrete_v2_gather_packed_matches_unpacked(monkeypatch, s, rng):
     import jax
     import fastselect_tpu.ops.relief_discrete as RD
     _force_v2(monkeypatch)
-    monkeypatch.setattr(RD, "_DEVICE_SORT_BUDGET", 1)  # force gather
+    monkeypatch.setattr(RD, "_DEVICE_SORT_BUDGET", 1)   # force gather
+    monkeypatch.setattr(RD, "_PACKED_PROMOTE_BUDGET", 0)  # no promote
 
     n, p = 210, 37  # p not a multiple of ft nor of the packing ratio
     codes = rng.randint(0, s, (n, p)).astype(np.int8)
@@ -576,3 +577,33 @@ def test_discrete_v2_gather_packed_matches_unpacked(monkeypatch, s, rng):
         assert isinstance(pk, RD.PackedCodes)
         packed = RD._run_v2(pk, y, layout, n, p, s, cp, **kw)
         assert_allclose(packed, plain, atol=5e-7, err_msg=algo)
+
+
+@pytest.mark.parametrize("s", [3, 5])
+def test_discrete_v2_packed_promote_matches_unpacked(monkeypatch, s, rng):
+    """PackedCodes whose sorted copy fits HBM are PROMOTED to the
+    resident v2 engine (device unpack+sort in plane feature order,
+    scores remapped host-side) — must equal the unpacked path."""
+    import jax
+    import fastselect_tpu.ops.relief_discrete as RD
+    _force_v2(monkeypatch)
+
+    n, p = 210, 37
+    codes = rng.randint(0, s, (n, p)).astype(np.int8)
+    y = rng.randint(0, 2, n).astype(np.int32)
+    cp = np.bincount(y, minlength=2).astype(np.float32) / n
+    for algo, star, k in [("multisurf", True, 0), ("surf", False, 0),
+                          ("relieff", False, 5)]:
+        layout = RD._v2_layout(y, n, 64, algo, cp)
+        assert layout is not None
+        kw = dict(algo=algo, use_star=star, k=k, ti=64, ft=16,
+                  device=None)
+        plain = RD._run_v2(jax.device_put(codes), y, layout, n, p, s,
+                           cp, **kw)
+        pk = RD.stage_codes_packed(codes, s)
+        assert isinstance(pk, RD.PackedCodes)
+        assert pk.n * pk.p <= RD._PACKED_PROMOTE_BUDGET  # promotes
+        packed = RD._run_v2(pk, y, layout, n, p, s, cp, **kw)
+        # pad columns past p carry engine-dependent f32 residue and are
+        # sliced off by every caller — compare the real features only
+        assert_allclose(packed[:p], plain[:p], atol=5e-7, err_msg=algo)
