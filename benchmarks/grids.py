@@ -56,15 +56,18 @@ def snp_data(n, p, seed=0):
     return X, rs.randint(0, 2, n)
 
 
-def measure_link_rate(mb: int = 32) -> float:
+def measure_link_rate(mb: int = 32, repeats: int = 3) -> float:
     """Measured H2D rate (MB/s) immediately before a scenario, so tunnel
     weather is visible in every large-scale CSV row.
 
-    Fresh random bytes each call (the tunnel client content-dedups
+    Fresh random bytes each probe (the tunnel client content-dedups
     re-puts of identical buffers, which would measure ~infinite), and
     the transfer is CONSUMED on device with the result pulled back
     (device_put acks lazily — put+block does not prove the bytes
-    moved)."""
+    moved).  Best-of-``repeats`` (max rate): single probes caught
+    transient stalls and produced impossible readings (a 0.3 MB/s row
+    next to a 0.23 s fit that staged 4 MB — round-4 CSV); the warm-up
+    put below keeps backend init / compile out of every probe."""
     import jax
     import jax.numpy as jnp
 
@@ -74,14 +77,18 @@ def measure_link_rate(mb: int = 32) -> float:
         # time (the first probe of a process read 0.3 MB/s before this)
         np.asarray(probe(jax.device_put(np.zeros(1 << 20, np.uint8))))
         measure_link_rate._warm = True
-    buf = np.random.default_rng().integers(
-        0, 255, (mb << 20,), dtype=np.uint8)
-    t0 = time.perf_counter()
-    xd = jax.device_put(buf)
-    s = np.asarray(probe(xd))
-    dt = time.perf_counter() - t0
-    assert s >= 0
-    return mb / dt
+    best = 0.0
+    rng = np.random.default_rng()
+    for _ in range(repeats):
+        buf = rng.integers(0, 255, (mb << 20,), dtype=np.uint8)
+        t0 = time.perf_counter()
+        xd = jax.device_put(buf)
+        s = np.asarray(probe(xd))
+        dt = time.perf_counter() - t0
+        assert s >= 0
+        best = max(best, mb / dt)
+        del xd, buf
+    return best
 
 
 # scenarios whose fits are large enough for link weather to matter:

@@ -92,6 +92,47 @@ def main(out, only=None, append=False):
         rows.append(("mdr_k3", "MDR(k=3,cv=5)", n, p, round(s, 4)))
         print(f"MDR(k=3) {n}x{p}: {s:.3f}s", flush=True)
 
+    # MDR at k=4 (C(100, 4) = 3.9M combos x 5 folds — past the
+    # reference's practical reach at any p; device unranking scales to
+    # comb(p, k) < 2^31)
+    for n, p in [(1000, 100)] if want("mdr_k4") else []:
+        X = rs.randint(0, 3, (n, p)).astype(np.uint8)
+        y = rs.randint(0, 2, n)
+        s = timeit(lambda: MDR(k=4, cv=5).fit(X, y))
+        rows.append(("mdr_k4", "MDR(k=4,cv=5)", n, p, round(s, 4)))
+        print(f"MDR(k=4) {n}x{p}: {s:.3f}s", flush=True)
+
+    # TuRF around MultiSURF at p >> n (the BASELINE.json workload): the
+    # HBM-resident fast path re-runs one compiled engine with dropped
+    # columns zeroed ON DEVICE, vs the reference's re-upload-per-
+    # iteration loop (TuRF.py:110-111 + MultiSURF.py:423-425), emulated
+    # here by disabling the fast scorer so every round slices + re-fits.
+    if want("turf"):
+        from fastselect_tpu import MultiSURF, TuRF
+        import fastselect_tpu.models.turf as turf_mod
+
+        n, p = 2000, 20_000
+        X = rs.randint(0, 3, (n, p)).astype(np.int8)
+        y = rs.randint(0, 2, n)
+
+        def make():
+            return TuRF(MultiSURF(n_features_to_select=10),
+                        n_features_to_select=1000, pct_remove=0.5)
+
+        s = timeit(lambda: make().fit(X, y))
+        rows.append(("turf", "TuRF(MultiSURF)", n, p, round(s, 4)))
+        print(f"TuRF fast-path {n}x{p} (5 iters): {s:.3f}s", flush=True)
+
+        orig = turf_mod.TuRF._make_fast_scorer
+        turf_mod.TuRF._make_fast_scorer = lambda self, b, X_, y_: None
+        try:
+            s = timeit(lambda: make().fit(X, y))
+        finally:
+            turf_mod.TuRF._make_fast_scorer = orig
+        rows.append(("turf", "TuRF(MultiSURF) re-staged", n, p,
+                     round(s, 4)))
+        print(f"TuRF re-staged {n}x{p} (5 iters): {s:.3f}s", flush=True)
+
     # mRMR at GWAS p (streaming greedy, no (p, p) matrix — beyond the
     # reference's reach: its redundancy matrix is CPU-only and O(p^2))
     if want("mrmr_stream"):
@@ -109,6 +150,24 @@ def main(out, only=None, append=False):
         s = timeit(lambda: chi2(X, y))
         rows.append(("chi2", "chi2", 2000, 200_000, round(s, 4)))
         print(f"chi2 2000x200000: {s:.3f}s", flush=True)
+
+    # chi2 with X already staged in HBM (int8 counts, 1/8 the f64
+    # bytes): the MXU contingency-matmul path with no transfer in the
+    # timed region — what repeated selections over a resident dataset
+    # cost (auto picks host for host arrays because H2D alone exceeds
+    # the f64 BLAS path at this transfer-bound shape)
+    if want("chi2_dev"):
+        import jax
+        from fastselect_tpu.utils.backend import tpu_available
+        if tpu_available():
+            Xi = rs.randint(0, 5, (2000, 200_000)).astype(np.int8)
+            y = rs.randint(0, 5, 2000)
+            Xd = jax.device_put(Xi)
+            s = timeit(lambda: chi2(Xd, y))
+            rows.append(("chi2_dev", "chi2 (device-resident)",
+                         2000, 200_000, round(s, 4)))
+            print(f"chi2 device-resident 2000x200000: {s:.3f}s",
+                  flush=True)
 
     # --- competitor baselines (optional imports — rows appear only when
     # the package is installed, mirroring the reference's comparison

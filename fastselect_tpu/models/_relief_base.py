@@ -205,6 +205,11 @@ class BaseReliefSelector(TransformerMixin, BaseEstimator):
             if (X.size >= _AUTO_F16_MIN_ELEMS and p >= 4 * n
                     and np.issubdtype(X.dtype, np.floating)):
                 td = "float16"
+                if getattr(self, "verbose", False):
+                    print("Auto-selected float16 H2D staging for this "
+                          "transfer-bound p >> n fit (~1e-3 relative "
+                          "score cost; pass transfer_dtype='float32' "
+                          "for exact staging).")
         self.transfer_dtype_ = td or "float32"
         return td
 

@@ -45,6 +45,34 @@ def chi2(X: np.ndarray, y: np.ndarray, *, backend: str = "auto",
     (chi2_stats, p_values) : tuple of ndarray of shape (n_features,)
     """
     was_device = _is_device_array(X)
+    if was_device and not exact:
+        # Device-resident X (e.g. staged once with jax.device_put):
+        # validate WITHOUT a host round-trip — pulling the matrix back
+        # just to run check_array would cost more than the whole fit.
+        # Non-negativity is checked with a device min-reduce (one scalar
+        # D2H); y is host-sized and validated normally.
+        import jax
+        import jax.numpy as jnp
+        if X.ndim != 2:
+            raise ValueError("X must be 2-dimensional.")
+        y = np.asarray(y)
+        if y.shape[0] != X.shape[0]:
+            raise ValueError(
+                f"X and y have inconsistent lengths: {X.shape[0]} vs "
+                f"{y.shape[0]}.")
+        if float(jax.jit(jnp.min)(X)) < 0:
+            raise ValueError(
+                "Input matrix X must contain non-negative values.")
+        n_samples, n_features = X.shape
+        labels, y_mapped = np.unique(y, return_inverse=True)
+        n_classes = len(labels)
+        if n_classes < 2:
+            return (np.zeros(n_features, dtype=np.float64),
+                    np.ones(n_features, dtype=np.float64))
+        dev = list(X.devices())[0]
+        stats = chi2_stats(X, y_mapped, n_classes, device=dev)
+        return stats, chi2_dist.sf(stats, n_classes - 1)
+
     X = check_array(X, dtype=[np.float64, np.float32], ensure_2d=True)
     X, y = check_X_y(X, y, y_numeric=True)
 

@@ -23,6 +23,7 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("n_classes",))
 def _chi2_device(x: jnp.ndarray, y_mapped: jnp.ndarray, *, n_classes: int):
+    x = x.astype(jnp.float32)  # device-resident int8 counts cast on-chip
     y_onehot = jax.nn.one_hot(y_mapped, n_classes, dtype=jnp.float32)
     # (c, n) @ (n, p) -> (c, p) on the MXU; fp32 accumulation.
     observed = jax.lax.dot_general(
@@ -49,9 +50,12 @@ def chi2_stats(x: np.ndarray, y_mapped: np.ndarray, n_classes: int,
     from ..utils.backend import execution_context
 
     with execution_context(device):
-        xs = np.asarray(x, dtype=np.float32)
-        if device is not None and device.platform != "cpu":
-            xs = jax.device_put(xs)  # uncommitted: the one fast H2D path
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            xs = x  # device-resident: no host round-trip, cast on-chip
+        else:
+            xs = np.asarray(x, dtype=np.float32)
+            if device is not None and device.platform != "cpu":
+                xs = jax.device_put(xs)  # uncommitted: the fast H2D path
         stats = _chi2_device(
             xs,
             jnp.asarray(y_mapped, dtype=jnp.int32),

@@ -94,21 +94,36 @@ def _mdr_tile_ba(X, w_case, w_ctrl, combos_tile, *, k: int):
     return jnp.where(ok, (sens + spec) / 2.0, 0.0)
 
 
-@partial(jax.jit, static_argnames=("k", "tc"))
-def _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, *, k: int, tc: int):
+@partial(jax.jit, static_argnames=("k", "tc", "with_scores"))
+def _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, *, k: int, tc: int,
+                        with_scores: bool = False):
     """Balanced accuracies for a combo chunk across ALL folds at once.
 
     X: (n_pad, p) int32; w_case/w_ctrl: (F, n_pad) f32 per-fold sample
     weights (0 off-fold / padded); combos: (c_pad, k) with c_pad a
-    multiple of tc.  Returns (F, c_pad) f32.
+    multiple of tc.  Returns (F, c_pad) f32 — or, with
+    ``with_scores=True``, a (ba, score) pair where ``score`` is the
+    EXACT int32 rank key ``tp*N + tn*P`` (see below).
 
     The expensive part — gathering k columns per combo and building the
     one-hot cell tensor — happens once per tile and is contracted
     against every fold's weights in one einsum, instead of once per fold
     (the reference re-runs its kernel per fold, ``MDR.py:262-276``).
+
+    Exact selection key: within a fold the case/control totals P and N
+    are combo-independent, so ``BA = (tp/P + tn/N)/2`` is maximised
+    exactly by the integer ``tp*N + tn*P``.  tp/tn are sums of 0/1
+    weights (exact in f32 below 2^24 samples) and the product stays
+    below 2^31 for n < 65536 (score <= 2*P*N <= n^2/2) — callers guard
+    that and fall back to f32-BA selection beyond.  This removes the
+    f32-resolution tie hazard of comparing BAs directly: the reference
+    compares f64 BAs (``MDR.py:282-302``), and two combos whose f64 BAs
+    differ below f32 epsilon would otherwise tie on device.
     """
     n_cells = 3 ** k
     powers = jnp.asarray([3 ** (k - 1 - j) for j in range(k)], jnp.int32)
+    P = w_case.sum(-1)                                       # (F,) exact
+    N = w_ctrl.sum(-1)
 
     def per_tile(t):
         tile = jax.lax.dynamic_slice(combos, (t * tc, 0), (tc, k))
@@ -129,11 +144,19 @@ def _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, *, k: int, tc: int):
         tn = jnp.where(~high, ctrl, 0.0).sum(-1)
         sens = tp / jnp.maximum(total_case, 1.0)
         spec = tn / jnp.maximum(total_ctrl, 1.0)
-        return jnp.where(ok, (sens + spec) / 2.0, 0.0)      # (F, tc)
+        ba = jnp.where(ok, (sens + spec) / 2.0, 0.0)         # (F, tc)
+        if not with_scores:
+            return ba
+        score = (tp.astype(jnp.int32) * N.astype(jnp.int32)[:, None]
+                 + tn.astype(jnp.int32) * P.astype(jnp.int32)[:, None])
+        return ba, jnp.where(ok, score, 0)
 
     nt = combos.shape[0] // tc
     parts = jax.lax.map(per_tile, jnp.arange(nt))           # (nt, F, tc)
-    return parts.transpose(1, 0, 2).reshape(w_case.shape[0], -1)
+    f = w_case.shape[0]
+    if not with_scores:
+        return parts.transpose(1, 0, 2).reshape(f, -1)
+    return tuple(a.transpose(1, 0, 2).reshape(f, -1) for a in parts)
 
 
 def _comb_tables(p: int, k: int) -> np.ndarray:
@@ -164,10 +187,19 @@ def _unrank_device(ranks, tables, *, k: int):
     return jnp.stack(cols, axis=1)  # (m, k)
 
 
-@partial(jax.jit, static_argnames=("k", "tc", "m"))
+@partial(jax.jit, static_argnames=("k", "tc", "m", "exact"))
 def _mdr_best_in_range(X, w_case, w_ctrl, tables, r0, n_combos,
-                       *, k: int, tc: int, m: int):
-    """Per-fold (best BA, global rank) over combo ranks [r0, r0+m).
+                       *, k: int, tc: int, m: int, exact: bool = True):
+    """Per-fold (best BA, selection score, global rank) over combo
+    ranks [r0, r0+m).
+
+    With ``exact=True`` (any fit with n < 65536) the maximum is picked
+    by the exact integer key ``tp*N + tn*P`` (see
+    :func:`_mdr_chunk_ba_folds`), matching the reference's f64 BA
+    comparison bit-for-bit including ties; the returned score is that
+    int32 key, which callers must also use for cross-chunk merging.
+    With ``exact=False`` the score IS the f32 BA (documented tolerance:
+    ties within f32 epsilon resolve by lexicographic rank).
 
     Combos are UNRANKED ON DEVICE and only the (F,) maxima leave the
     chip — at k=3, p=500 scale the host-combo design moves ~250 MB of
@@ -175,13 +207,25 @@ def _mdr_best_in_range(X, w_case, w_ctrl, tables, r0, n_combos,
     bytes per chunk.  Ranks past n_combos clamp to the last combo: its
     duplicate BA can only TIE the real entry, and argmax's first-index
     rule keeps the real (earlier) one, preserving the reference's
-    first-in-lexicographic-order tie-break."""
-    ranks = r0 + jnp.arange(m, dtype=jnp.int32)
-    combos = _unrank_device(jnp.minimum(ranks, n_combos - 1), tables, k=k)
-    bas = _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, k=k, tc=tc)
-    idx = jnp.argmax(bas, axis=1)                      # (F,) first max
+    first-in-lexicographic-order tie-break.
+
+    Overflow-safe: clamp the OFFSET before adding r0, so the padded
+    tail of the last chunk never computes r0 + m - 1 (which can exceed
+    INT32_MAX when n_combos is within one padded chunk of the 2^31
+    guard and would wrap negative, indexing garbage combos)."""
+    offs = jnp.arange(m, dtype=jnp.int32)
+    ranks = r0 + jnp.minimum(offs, n_combos - 1 - r0)
+    combos = _unrank_device(ranks, tables, k=k)
+    if exact:
+        bas, keys = _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos,
+                                        k=k, tc=tc, with_scores=True)
+    else:
+        bas = _mdr_chunk_ba_folds(X, w_case, w_ctrl, combos, k=k, tc=tc)
+        keys = bas
+    idx = jnp.argmax(keys, axis=1)                     # (F,) first max
     vals = jnp.take_along_axis(bas, idx[:, None], 1)[:, 0]
-    return vals, r0 + idx.astype(jnp.int32)
+    scs = jnp.take_along_axis(keys, idx[:, None], 1)[:, 0]
+    return vals, scs, r0 + idx.astype(jnp.int32)
 
 
 class MDRFoldScorer:
@@ -197,6 +241,9 @@ class MDRFoldScorer:
         self.k = int(k)
         self.n_cells = 3 ** self.k
         n_pad = _round_up(n, 64)
+        # exact integer selection key fits int32 while 2*P*N <= n^2/2
+        # < 2^31; beyond that fall back to f32-BA comparison
+        self.exact = n_pad < 65536
         self.tc = int(max(8, min(1024, (48 * 1024 * 1024)
                                   // (n_pad * self.n_cells * 4))))
         Xp = np.zeros((n_pad, X.shape[1]), np.int32)
@@ -230,10 +277,18 @@ class MDRFoldScorer:
         combos unranked on device and only per-chunk maxima pulled back
         (see :func:`_mdr_best_in_range`).  Requires comb(p, k) < 2^31
         (int32 device arithmetic); dispatches are queued asynchronously
-        and drained once at the end."""
+        and drained once at the end.
+
+        Cross-chunk merging compares the exact integer selection key
+        (n < 65536; see :func:`_mdr_chunk_ba_folds`), so the winner and
+        its first-in-lexicographic-order tie-break match the
+        reference's f64 comparison exactly; beyond that the key is the
+        f32 BA itself and sub-epsilon ties resolve by rank order
+        (documented in PARITY.md)."""
         f = self.wc.shape[0]
         m = _round_up(min(chunk, max(n_combos, 1)), self.tc)
         best_v = np.full((f,), -np.inf, np.float64)
+        best_s = np.full((f,), -np.inf, np.float64)
         best_r = np.zeros((f,), np.int64)
         pending = []
         with self._ctx(self.device):
@@ -242,11 +297,13 @@ class MDRFoldScorer:
             for r0 in range(0, n_combos, m):
                 pending.append(_mdr_best_in_range(
                     self.Xd, self.wc, self.wl, tb, jnp.int32(r0), nc,
-                    k=self.k, tc=self.tc, m=m))
-            for vals, ranks in pending:  # ascending rank order: strict >
+                    k=self.k, tc=self.tc, m=m, exact=self.exact))
+            for vals, scs, ranks in pending:  # ascending ranks: strict >
                 vals = np.asarray(vals, np.float64)
+                scs = np.asarray(scs, np.float64)
                 ranks = np.asarray(ranks, np.int64)
-                upd = vals > best_v
+                upd = scs > best_s
+                best_s[upd] = scs[upd]
                 best_v[upd] = vals[upd]
                 best_r[upd] = ranks[upd]
         return best_v, best_r

@@ -201,9 +201,10 @@ def _topk_weight_rows(D_masked, k, n_pad):
     return W, sel.sum(axis=1)
 
 
-def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
-    """Class-prior-weighted k-NN rule — the reference CPU semantics
-    (ReliefF.py:137-220), NOT the simpler GPU variant."""
+def _rules_relieff_topk(D, yi, vi, iid, y_flat, valid_flat, k,
+                        class_probs):
+    """C+1 independent top_k selections — the pre-round-5 structure,
+    kept for fresh-process A/B benchmarking (FS_RELIEFF_TOPK=1)."""
     n_pad = D.shape[1]
     n_classes = class_probs.shape[0]
     vmask, hit = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
@@ -223,6 +224,62 @@ def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
         W_c, _ = _topk_weight_rows(Dc, k, n_pad)
         w_c = (class_probs[c] / denom) / jnp.float32(k)
         rules.append((W_c > 0, jnp.broadcast_to(w_c, hit_norm.shape)))
+    return rules
+
+
+def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
+    """Class-prior-weighted k-NN rule — the reference CPU semantics
+    (ReliefF.py:137-220), NOT the simpler GPU variant.
+
+    Selection mirrors the reference's single ``np.argsort(dists)`` walk
+    (``ReliefF.py:157-174``): ONE stable argsort per focal row shared by
+    the hit rule and every class rule, instead of C+1 independent
+    ``top_k`` passes over (T, n_pad).  Rank-within-class comes from a
+    C-lane one-hot cumsum in sorted order; the disjoint selections fold
+    into one small label tensor that un-permutes back with a single
+    gather.  Tie order matches the old top_k structure exactly (equal
+    distances select the lower sample index, stable sort = top_k's
+    lowest-index rule), so scores are bit-identical.
+    """
+    import os
+    if os.environ.get("FS_RELIEFF_TOPK") == "1":
+        return _rules_relieff_topk(D, yi, vi, iid, y_flat, valid_flat,
+                                   k, class_probs)
+    n_classes = class_probs.shape[0]
+    vmask, _ = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
+
+    Dm = jnp.where(vmask, D, _INF)
+    sidx = jnp.argsort(Dm, axis=1)                       # stable
+    y_s = jnp.take(y_flat, sidx)                         # (T, n)
+    v_s = jnp.take_along_axis(vmask, sidx, axis=1)
+    oh = jax.nn.one_hot(jnp.where(v_s, y_s, n_classes), n_classes,
+                        dtype=jnp.float32)               # (T, n, C)
+    ranks = jnp.cumsum(oh, axis=1)                       # (T, n, C)
+    rank_own = jnp.take_along_axis(
+        ranks, y_s[..., None].astype(jnp.int32), axis=2)[..., 0]
+    sel_s = v_s & (rank_own <= k)                        # first k per class
+    lab_s = jnp.where(sel_s, y_s + 1, 0).astype(jnp.int32)
+    inv = jnp.argsort(sidx, axis=1)                      # inverse perm
+    lab = jnp.take_along_axis(lab_s, inv, axis=1)        # original order
+    counts = ranks[:, -1, :]                             # (T, C)
+
+    # k nearest hits at weight -1/h_found
+    h_found = jnp.minimum(
+        jnp.take_along_axis(counts, yi[:, None].astype(jnp.int32),
+                            axis=1)[:, 0], jnp.float32(k))
+    hit_norm = jnp.where(h_found > 0, 1.0 / jnp.maximum(h_found, 1.0), 0.0)
+    # vi guard: padded focal rows have yi == -1, where (lab == yi+1)
+    # would match every UNselected position (coeff is 0 there, but the
+    # mask must stay clean for rule consumers).
+    rules = [((lab == (yi + 1)[:, None]) & (vi[:, None] > 0), -hit_norm)]
+
+    # k nearest misses per class at weight P(c) / (1 - P(y_i)) / k
+    denom = 1.0 - class_probs[yi]
+    denom = jnp.where(denom == 0, 1.0, denom)
+    for c in range(n_classes):
+        mask_c = (lab == c + 1) & (yi != c)[:, None]
+        w_c = (class_probs[c] / denom) / jnp.float32(k)
+        rules.append((mask_c, jnp.broadcast_to(w_c, hit_norm.shape)))
     return rules
 
 

@@ -190,13 +190,35 @@ class PackedCodes:
     each (n, ft) feature window on the fly inside jit — HBM residency
     drops to packed + O(window) transients."""
 
-    __slots__ = ("packed", "bits", "n", "p")
+    __slots__ = ("packed", "bits", "n", "p", "consumed")
 
     def __init__(self, packed, bits: int, n: int, p: int):
         self.packed = packed  # (n, ceil(p / (8//bits))) uint8 device
         self.bits = bits
         self.n = n
         self.p = p
+        self.consumed = False
+
+    def consume(self):
+        """Free the packed HBM buffer and mark this object SPENT.
+
+        The promote path of the v2 engine calls this after unpacking
+        (at promote scale, freeing the packed copy is the difference
+        between fitting HBM and RESOURCE_EXHAUSTED).  A consumed
+        PackedCodes cannot be reused — re-stage with
+        :func:`stage_codes_packed`.  Engines check this flag and raise
+        a clear error instead of letting a deleted-buffer RuntimeError
+        surface from deep inside jit dispatch."""
+        self.packed.delete()
+        self.consumed = True
+
+    def check_live(self):
+        if self.consumed:
+            raise RuntimeError(
+                "this PackedCodes was consumed by a previous fit (its "
+                "packed HBM buffer was freed by the promote path); "
+                "re-stage the matrix with stage_codes_packed() before "
+                "fitting again")
 
     @property
     def per(self) -> int:
@@ -246,6 +268,12 @@ def stage_codes_sharded(codes: np.ndarray, n_states: int, mesh,
 
     codes = np.asarray(codes, np.int8)
     ndev = mesh.devices.size
+    if codes.shape[shard_axis] % ndev:
+        raise ValueError(
+            f"stage_codes_sharded: axis {shard_axis} extent "
+            f"{codes.shape[shard_axis]} is not divisible by the "
+            f"{ndev}-device mesh — pad before staging (a non-divisible "
+            f"feature axis would silently drop the trailing columns)")
     axis_name = mesh.axis_names[0]
     spec = P(axis_name, None) if shard_axis == 0 else P(None, axis_name)
     sharding = NamedSharding(mesh, spec)
@@ -1163,6 +1191,8 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
             *, algo, use_star, k, ti, ft, device):
     """Class-sorted v2 execution: pick symmetric / monolithic / streamed
     by memory and block count."""
+    if isinstance(codes, PackedCodes):
+        codes.check_live()
     classes, perm, segments, block_class, n_pad = layout
     p_pad = _round_up(p, ft)
     y_np = np.asarray(y[:n], np.int32)
@@ -1200,7 +1230,7 @@ def _run_v2(codes, y, layout, n, p, n_states, class_probs,
         # block_until_ready does not reliably sync through tunnelled
         # runtimes.
         np.asarray(_slice_00(cpad))
-        codes.packed.delete()
+        codes.consume()
         valid = row_valid
     elif isinstance(codes, jax.Array):
         gather_idx = np.zeros((n_pad,), np.int32)

@@ -106,6 +106,7 @@ class ShardedMDRFoldScorer:
         n_pad = _round_up(n, 64)
         self.tc = int(max(8, min(1024,
                                  (48 * 1024 * 1024) // (n_pad * n_cells * 4))))
+        self.exact = n_pad < 65536  # int32 selection-key guard
         Xp = np.zeros((n_pad, X.shape[1]), np.int32)
         Xp[:n] = X
         wc = np.zeros((f, n_pad), np.float32)
@@ -146,7 +147,9 @@ class ShardedMDRFoldScorer:
         the rank range sharded over the mesh: each device unranks and
         scores its own contiguous rank slice (no combo H2D at all) and
         only the per-device (F,) maxima are gathered.  Requires
-        comb(p, k) < 2^31 (int32 device arithmetic)."""
+        comb(p, k) < 2^31 (int32 device arithmetic).  Maxima merge on
+        the exact integer selection key (n < 65536) — see
+        :func:`fastselect_tpu.ops.mdr_op._mdr_chunk_ba_folds`."""
         from ..ops.mdr_op import _comb_tables, _mdr_best_in_range
 
         f = self.wc.shape[0]
@@ -156,34 +159,45 @@ class ShardedMDRFoldScorer:
         nc = jnp.int32(n_combos)
         mesh, axis = self.mesh, self.axis
 
-        @partial(jax.jit, static_argnames=("k", "tc", "m"))
-        def _run(Xd, wc_, wl_, tb_, r0, nc_, *, k, tc, m):
+        @partial(jax.jit, static_argnames=("k", "tc", "m", "exact"))
+        def _run(Xd, wc_, wl_, tb_, r0, nc_, *, k, tc, m, exact):
             def local_fn(Xl, wcl, wll, tbl, r0l, ncl):
                 me = jax.lax.axis_index(axis).astype(jnp.int32)
-                vals, ranks = _mdr_best_in_range(
-                    Xl, wcl, wll, tbl, r0l + me * m, ncl,
-                    k=k, tc=tc, m=m)
-                return vals[None, :], ranks[None, :]
+                # clamp the per-device OFFSET before adding r0l so a
+                # device whose slice starts past n_combos never computes
+                # r0l + me*m > INT32_MAX (it would wrap negative); a
+                # clamped device re-scores the last combo, which can
+                # only tie the real maximum (strict > host merge keeps
+                # the earlier, real entry).
+                r0_dev = r0l + jnp.minimum(me * m, ncl - 1 - r0l)
+                vals, scs, ranks = _mdr_best_in_range(
+                    Xl, wcl, wll, tbl, r0_dev, ncl,
+                    k=k, tc=tc, m=m, exact=exact)
+                return vals[None, :], scs[None, :], ranks[None, :]
 
             return shard_map(
                 local_fn, mesh=mesh,
                 in_specs=(P(), P(), P(), P(), P(), P()),
-                out_specs=(P(axis, None), P(axis, None)),
+                out_specs=(P(axis, None), P(axis, None), P(axis, None)),
                 check_vma=False,
             )(Xd, wc_, wl_, tb_, r0, nc_)
 
         best_v = np.full((f,), -np.inf, np.float64)
+        best_s = np.full((f,), -np.inf, np.float64)
         best_r = np.zeros((f,), np.int64)
         pending = []
         for r0 in range(0, n_combos, step):
             pending.append(_run(self.Xd, self.wc, self.wl, tb,
                                 jnp.int32(r0), nc,
-                                k=self.k, tc=self.tc, m=m_local))
-        for vals, ranks in pending:
+                                k=self.k, tc=self.tc, m=m_local,
+                                exact=self.exact))
+        for vals, scs, ranks in pending:
             vals = np.asarray(vals, np.float64)    # (ndev, F)
+            scs = np.asarray(scs, np.float64)
             ranks = np.asarray(ranks, np.int64)
             for d in range(vals.shape[0]):         # ascending rank order
-                upd = vals[d] > best_v
+                upd = scs[d] > best_s
+                best_s[upd] = scs[d][upd]
                 best_v[upd] = vals[d][upd]
                 best_r[upd] = ranks[d][upd]
         return best_v, best_r

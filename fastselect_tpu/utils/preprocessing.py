@@ -110,11 +110,14 @@ def _jitted_helpers():
     return _chunk_stats, _chunk_encode
 
 
-def _auto_f_chunk(n: int) -> int:
-    """Feature-chunk width targeting ~256 MB f32 per chunk: small-n
-    (GWAS p >> n) workloads get very wide chunks so the per-dispatch
-    round-trip cost amortises."""
-    budget = (256 << 20) // 4
+def _auto_f_chunk(n: int, itemsize: int = 4) -> int:
+    """Feature-chunk width targeting ~48 MB STAGED per chunk: big enough
+    that the measured per-put overhead does not bite (below ~32 MB the
+    tunnel's fixed cost dominates, CLAUDE.md), small enough that a
+    transfer-bound p >> n fit splits into several chunks whose device
+    work pipelines under the next chunk's host cast + serialization
+    (the deferred-pull sweep below)."""
+    budget = (48 << 20) // itemsize
     return int(min(1 << 19, max(8192, budget // max(n, 1) // 8192 * 8192)))
 
 
@@ -153,21 +156,30 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
     stats, encode = _jitted_helpers()
     n, p = x.shape
     if f_chunk is None:
-        f_chunk = _auto_f_chunk(n)
+        f_chunk = _auto_f_chunk(n, np.dtype(stage_dtype).itemsize)
     codes = np.empty((n, p), np.int8)
     is_disc = np.empty(p, bool)
     rng = np.empty(p, np.float32)
     keep: list | None = ([] if n * p * 4 <= _XDEV_BUDGET_BYTES else None)
 
     n_states = 1
-    for f0 in range(0, p, f_chunk):
-        xc = jax.device_put(np.ascontiguousarray(
-            x[:, f0:f0 + f_chunk], dtype=stage_dtype))
-        xs, newv, n_unique, rg = stats(xc)
+
+    # Deferred-pull pipeline: the per-chunk stat pull (np.asarray) is a
+    # SYNC point — pulling chunk k's stats immediately would serialize
+    # [host cast k+1] behind [transfer k + device sort k].  Instead the
+    # pull lags one chunk behind the puts, so chunk k+1's cast and
+    # serialization are already enqueued while chunk k's transfer/sort
+    # drains.  The window is 2 chunks wide to bound the sort
+    # temporaries held live in HBM.
+    window: list = []
+
+    def drain(entry):
+        nonlocal keep, n_states
+        f0, xc, xs, newv, n_unique, rg_d = entry
         nu = np.asarray(n_unique)
         d = nu <= discrete_limit
         is_disc[f0:f0 + f_chunk] = d
-        rng[f0:f0 + f_chunk] = np.asarray(rg)
+        rng[f0:f0 + f_chunk] = np.asarray(rg_d)
         if d.any():
             s_chunk = int(min(int(nu.max(initial=1)), discrete_limit))
             codes[:, f0:f0 + f_chunk] = np.asarray(
@@ -176,6 +188,16 @@ def analyze_features_device(x: np.ndarray, discrete_limit: int,
             keep = None  # mixed data takes the host hybrid path
         elif keep is not None:
             keep.append((f0, xc))
+
+    for f0 in range(0, p, f_chunk):
+        xc = jax.device_put(np.ascontiguousarray(
+            x[:, f0:f0 + f_chunk], dtype=stage_dtype))
+        xs, newv, n_unique, rg_d = stats(xc)
+        window.append((f0, xc, xs, newv, n_unique, rg_d))
+        if len(window) > 1:
+            drain(window.pop(0))
+    while window:
+        drain(window.pop(0))
 
     rng[rng == 0] = 1.0
     recip = (1.0 / rng).astype(np.float32)

@@ -255,3 +255,47 @@ def test_sharded_search_all_matches_single():
         p, n_combos, chunk=16)
     np.testing.assert_allclose(gv, sv, atol=1e-6)
     assert_array_equal(gr, sr)
+
+
+def test_exact_selection_key_matches_f64_oracle():
+    """Device search ranks combos by the exact integer key tp*N + tn*P,
+    which must order identically to f64 balanced accuracy (P, N are
+    combo-independent per fold) — the PARITY.md precision contract."""
+    from itertools import combinations
+
+    from fastselect_tpu.ops.mdr_op import MDRFoldScorer
+
+    rng = np.random.RandomState(7)
+    p, k = 8, 2
+    n = 60
+    X = rng.randint(0, 3, (n, p)).astype(np.int32)
+    y = rng.randint(0, 2, n)
+    y[:2] = [0, 1]
+    w_case = np.zeros((2, n), np.float32)
+    w_ctrl = np.zeros((2, n), np.float32)
+    w_case[0, :50] = (y[:50] == 1)
+    w_ctrl[0, :50] = (y[:50] != 1)
+    w_case[1, 10:] = (y[10:] == 1)
+    w_ctrl[1, 10:] = (y[10:] != 1)
+
+    combos = np.array(list(combinations(range(p), k)), np.int32)
+    n_combos = combos.shape[0]
+    sc = MDRFoldScorer(X, w_case, w_ctrl, k)
+    assert sc.exact
+    _, ranks = sc.search_all(p, n_combos, chunk=8)
+
+    # f64 host oracle with the reference's high-risk rule (MDR.py:66-70)
+    for f in range(2):
+        case_w = w_case[f].astype(np.float64)
+        ctrl_w = w_ctrl[f].astype(np.float64)
+        P, N = case_w.sum(), ctrl_w.sum()
+        best_ba, best_r = -1.0, -1
+        for r, cmb in enumerate(combos):
+            cells = (X[:, cmb] * (3 ** np.arange(k - 1, -1, -1))).sum(1)
+            case = np.bincount(cells, weights=case_w, minlength=9)
+            ctrl = np.bincount(cells, weights=ctrl_w, minlength=9)
+            high = (ctrl == 0) | (case / np.maximum(ctrl, 1e-30) > P / N)
+            ba = (case[high].sum() / P + ctrl[~high].sum() / N) / 2
+            if ba > best_ba:  # strict >: first-in-lex-order tie-break
+                best_ba, best_r = ba, r
+        assert ranks[f] == best_r
