@@ -201,10 +201,30 @@ def _topk_weight_rows(D_masked, k, n_pad):
     return W, sel.sum(axis=1)
 
 
-def _rules_relieff_topk(D, yi, vi, iid, y_flat, valid_flat, k,
-                        class_probs):
-    """C+1 independent top_k selections — the pre-round-5 structure,
-    kept for fresh-process A/B benchmarking (FS_RELIEFF_TOPK=1)."""
+def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
+    """Class-prior-weighted k-NN rule — the reference CPU semantics
+    (ReliefF.py:137-220), NOT the simpler GPU variant.
+
+    Structure: C+1 independent ``lax.top_k`` selections (k hits, k
+    misses per class) + k-entry row scatters.  TWO alternatives are
+    measured dead ends on v5e (do not "fix" again; fresh-process
+    best-of-3 at 30000x100 each time):
+
+    * broadcast compares instead of the scatter: 4.6 s vs 2.2 s
+      (round 4) — k full passes over (T, n_pad) cost more than the
+      scatter's k touched entries per row.
+    * ONE stable argsort per row shared across all rules (rank-within-
+      class via one-hot cumsum, masks un-permuted by a second argsort
+      + gather; kept as :func:`_rules_relieff_argsort`,
+      ``FS_RELIEFF_ARGSORT=1``): 51.6 s vs 2.0 s (round 5) — a full
+      (T, n_pad) sort with index payloads is ~25x the cost of C+1
+      partial top_k lowerings; XLA's top_k does NOT lower to a full
+      sort on TPU.
+    """
+    import os
+    if os.environ.get("FS_RELIEFF_ARGSORT") == "1":
+        return _rules_relieff_argsort(D, yi, vi, iid, y_flat,
+                                      valid_flat, k, class_probs)
     n_pad = D.shape[1]
     n_classes = class_probs.shape[0]
     vmask, hit = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
@@ -227,24 +247,18 @@ def _rules_relieff_topk(D, yi, vi, iid, y_flat, valid_flat, k,
     return rules
 
 
-def _rules_relieff(D, yi, vi, iid, y_flat, valid_flat, k, class_probs):
-    """Class-prior-weighted k-NN rule — the reference CPU semantics
-    (ReliefF.py:137-220), NOT the simpler GPU variant.
-
-    Selection mirrors the reference's single ``np.argsort(dists)`` walk
-    (``ReliefF.py:157-174``): ONE stable argsort per focal row shared by
-    the hit rule and every class rule, instead of C+1 independent
-    ``top_k`` passes over (T, n_pad).  Rank-within-class comes from a
-    C-lane one-hot cumsum in sorted order; the disjoint selections fold
-    into one small label tensor that un-permutes back with a single
-    gather.  Tie order matches the old top_k structure exactly (equal
-    distances select the lower sample index, stable sort = top_k's
-    lowest-index rule), so scores are bit-identical.
+def _rules_relieff_argsort(D, yi, vi, iid, y_flat, valid_flat, k,
+                           class_probs):
+    """MEASURED DEAD END on TPU (51.6 s vs 2.0 s at 30000x100 — see
+    :func:`_rules_relieff`): one stable argsort per focal row shared by
+    the hit rule and every class rule, mirroring the reference's single
+    ``np.argsort(dists)`` walk (``ReliefF.py:157-174``).  Rank-within-
+    class comes from a C-lane one-hot cumsum in sorted order; the
+    disjoint selections fold into one label tensor un-permuted by a
+    second argsort + gather.  Tie order matches top_k (stable sort =
+    lowest-index rule), so scores are bit-identical to the default.
+    Kept selectable (``FS_RELIEFF_ARGSORT=1``) as the benchmark record.
     """
-    import os
-    if os.environ.get("FS_RELIEFF_TOPK") == "1":
-        return _rules_relieff_topk(D, yi, vi, iid, y_flat, valid_flat,
-                                   k, class_probs)
     n_classes = class_probs.shape[0]
     vmask, _ = _pair_masks(D, yi, vi, iid, y_flat, valid_flat)
 
