@@ -97,14 +97,15 @@ _LINK_PROBED = {"large_p", "large_n", "flagship_snp", "large_n_mixed"}
 
 
 def run(out="benchmarks/results.csv", large=False, flagship=False,
-        only=None, append=False, shapes=None):
+        only=None, append=False, shapes=None, est=None):
     rows = []
     if append:
         # re-running a subset: keep existing rows that are NOT re-run by
         # this invocation (their fresh rows replace the old).  The tunnel
         # client leaks host RSS per transfer and degrades in-process, so
         # honest large-scale rows come from one process per scenario (or
-        # per shape, via --shapes).
+        # per shape / estimator, via --shapes / --est: an estimator
+        # timed 5th in-process reads ~1.3x its fresh-process fit).
         try:
             with open(out, newline="") as fh:
                 kept = [tuple(r) for r in csv.reader(fh)][1:]
@@ -116,6 +117,8 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
             if rerun is None:
                 return True  # no scenario filter: full rewrite
             if r[0] not in rerun:
+                return False
+            if est is not None and r[1] not in est:
                 return False
             return shapes is None or (int(r[2]), int(r[3])) in shapes
         # pad pre-link-column rows so the CSV stays rectangular
@@ -136,6 +139,8 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
         grids = [(s, [sh for sh in shp if sh in shapes])
                  for s, shp in grids]
     ests = make_estimators()
+    if est is not None:
+        ests = {k: v for k, v in ests.items() if k in est}
     def flush_rows():
         with open(out, "w", newline="") as fh:
             w = csv.writer(fh)
@@ -181,7 +186,8 @@ def run(out="benchmarks/results.csv", large=False, flagship=False,
             for name, make in ests.items():
                 record(scenario, name, n, p,
                        timed_fit(make, X, y, repeats=reps), link)
-            if scenario == "large_p":
+            if scenario == "large_p" and (
+                    est is None or "MultiSURF (f32 xfer)" in est):
                 # exact f32 staging for comparison with the default
                 # (which auto-selects float16 at transfer-bound p >> n)
                 record(scenario, "MultiSURF (f32 xfer)", n, p, timed_fit(
@@ -244,6 +250,11 @@ if __name__ == "__main__":
                     help="comma-separated NxP filter within --only "
                     "scenarios (one process per shape dodges the tunnel "
                     "client's per-transfer host leak)")
+    ap.add_argument("--est", default=None,
+                    help="comma-separated estimator-name filter within "
+                    "--only scenarios (one process per estimator: an "
+                    "estimator timed 5th in-process reads ~1.3x its "
+                    "fresh-process fit)")
     a = ap.parse_args()
     shp = None
     if a.shapes:
@@ -251,4 +262,4 @@ if __name__ == "__main__":
                for sh in a.shapes.split(",")}
     run(a.out, a.large, a.flagship,
         only=a.only.split(",") if a.only else None, append=a.append,
-        shapes=shp)
+        shapes=shp, est=set(a.est.split(",")) if a.est else None)
